@@ -1,0 +1,61 @@
+"""End-to-end extraction pipeline (SURVEY §3.1 Spark shape):
+
+pages -> plan_splits (skew salting) -> rasterize -> detect (batched UDF)
+      -> normalize (native) -> enrich (clipped text + XY-cut, cogrouped)
+      -> { stats aggs  ||  caption matching -> extraction }
+      -> groupBy(url) doc-text assembly
+
+The intermediate ``enriched`` DataFrame is the hub: stats, matching and
+assembly all branch from it, so callers that need several outputs should
+checkpoint/persist it once (see sources.catalog for the Iceberg/parquet
+stage-checkpoint helper).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from ..operators.assembly import assemble_doc_text
+from ..operators.detect import StubDetectorBackend, detect_layout, normalize_detections
+from ..operators.matching import match_captions
+from ..operators.page_text import enrich_detections
+from ..operators.rasterize import plan_splits, probe_pages, rasterize_pages
+from ..operators.stats import doc_stats
+
+
+@dataclass
+class PipelineOutputs:
+    rasterized: DataFrame     # one row per page
+    detections: DataFrame     # normalized detections
+    enriched: DataFrame       # + reading_order_rank, clipped text
+    matched: DataFrame        # extracted items with captions
+    doc_text: DataFrame       # url, doc_text (byte-identity surface)
+    doc_stats: DataFrame      # per-url totals
+
+
+def run_pipeline(
+    pages: DataFrame,
+    backend_factory=StubDetectorBackend,
+    chunk_pages: int = 16,
+    num_partitions: int | None = None,
+    persist_enriched: bool = False,
+) -> PipelineOutputs:
+    planned = plan_splits(pages, chunk_pages=chunk_pages, num_partitions=num_partitions)
+    rasterized = rasterize_pages(planned)
+    det = normalize_detections(detect_layout(rasterized, backend_factory))
+    enriched = enrich_detections(det, rasterized)
+    if persist_enriched:
+        enriched = enriched.persist()
+    matched = match_captions(enriched)
+    doc_text = assemble_doc_text(enriched)
+    stats = doc_stats(enriched, total_pages=probe_pages(pages))
+    return PipelineOutputs(
+        rasterized=rasterized,
+        detections=det,
+        enriched=enriched,
+        matched=matched,
+        doc_text=doc_text,
+        doc_stats=stats,
+    )

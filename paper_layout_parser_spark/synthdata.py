@@ -1,0 +1,345 @@
+"""Deterministic synthetic-corpus spec, rendered three independent ways.
+
+The engine's input is an Iceberg/parquet table of Common-Crawl-style pages
+(``url, warc_ts, html, text, lang`` — BASELINE.json::input_hint). For tests
+and benchmarks we synthesize that table deterministically from the driver's
+``documents.parquet`` (seed data), embedding per page a known set of layout
+blocks whose geometry is lifted from the reference's own test fixtures
+(/root/reference/tests/conftest.py:12-58 and
+tests/test_matching/test_caption_matcher.py:176-276).
+
+ONE spec table (``FAMILIES``) drives:
+  1. the pure-Python page generator (used by the Spark corpus builder's
+     mapInPandas UDF *and* by the single-process test oracle), and
+  2. a DuckDB SQL CTE builder (used by ``__spark_entry__.oracle_sql`` so the
+     driver's Spark-vs-DuckDB comparison cross-checks two independent
+     implementations).
+
+All arithmetic is integer (bbox coords) or dyadic-rational (confidence is a
+multiple of 1/16, exactly representable in IEEE-754, so sums/averages are
+order-independent and bit-identical across Spark, DuckDB and Python).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+# ---------------------------------------------------------------------------
+# scalar formulas (keep these in perfect sync with the SQL rendering below)
+# ---------------------------------------------------------------------------
+
+GIANT_MOD = 101          # every 101st doc is a "giant" (skew exerciser)
+GIANT_PAGES = 64
+PAGE_W, PAGE_H = 1224, 1584   # 200-DPI US-letter-ish, like the reference
+URL_FMT = "https://example.org/doc/%08d"
+WARC_EPOCH = "2020-01-01 00:00:00"   # warc_ts = epoch + doc_id seconds
+
+
+def n_pages(doc_id: int) -> int:
+    return GIANT_PAGES if doc_id % GIANT_MOD == 0 else 1 + (doc_id % 8)
+
+
+def scenario(doc_id: int, p: int) -> int:
+    """Per-page scenario selector in [0, 10). Chooses which block families
+    appear and which caption-geometry variant is used (match / too-far /
+    no-overlap / wrong-direction / absent — mirroring the reference's test
+    matrix at tests/test_matching/test_caption_matcher.py)."""
+    return (doc_id * 131 + p * 17) % 10
+
+
+def confidence(doc_id: int, p: int, b: int) -> float:
+    """Multiple of 1/16 in [0.5, 0.9375] — exact in binary floating point."""
+    return (8 + ((doc_id * 13 + p * 7 + b * 3) % 8)) / 16.0
+
+
+def url_of(doc_id: int) -> str:
+    return URL_FMT % doc_id
+
+
+# ---------------------------------------------------------------------------
+# block family spec
+# ---------------------------------------------------------------------------
+# pred DSL: ("always",) | ("le", k) -> s <= k | ("eq", k) | ("in", (a, b, ...))
+# geom: {scenario_or_None: (x1, y1, x2, y2)}; None is the default variant.
+
+@dataclass(frozen=True)
+class Family:
+    b: int                      # block index == model output order
+    class_id: int
+    raw_name: str               # name as the detection model emits it
+    pred: tuple
+    geom: dict
+
+    @property
+    def norm_name(self) -> str:
+        return normalize_class_name(self.raw_name)
+
+
+def normalize_class_name(name: str) -> str:
+    """Reference normalization (layout_detector.py:143-146):
+    ``name.replace("_", "-").title().replace(" ", "-")`` — e.g.
+    'Figure-caption' -> 'Figure-Caption', 'plain text' -> 'Plain-Text'."""
+    return name.replace("_", "-").title().replace(" ", "-")
+
+
+FAMILIES: list[Family] = [
+    Family(0, 0, "Title", ("always",), {None: (100, 40, 1100, 90)}),
+    # two-column page when s == 7 (XY-cut exerciser), single body block else
+    Family(1, 1, "Text", ("always",), {7: (100, 150, 590, 700), None: (100, 100, 1100, 140)}),
+    Family(2, 1, "Text", ("eq", 7), {None: (634, 150, 1100, 700)}),
+    # Figure + caption variants (fixture geometry: conftest.py:12-34)
+    Family(3, 3, "Figure", ("le", 4), {None: (100, 200, 300, 400)}),
+    Family(4, 4, "Figure-caption", ("le", 3), {
+        0: (100, 420, 300, 460),   # 20px below, full overlap  -> match
+        1: (100, 520, 300, 560),   # 120px below (>100)        -> too far
+        2: (360, 420, 560, 460),   # no horizontal overlap     -> no match
+        3: (100, 150, 300, 190),   # above a figure (dir=BELOW)-> invalid
+    }),
+    # Table + caption variants (conftest.py:36-58); tables search ABOVE
+    Family(5, 6, "Table-caption", ("in", (0, 4)), {None: (50, 460, 400, 490)}),   # match
+    Family(6, 5, "Table", ("in", (0, 2, 4, 5, 6)), {None: (50, 500, 400, 700)}),
+    Family(7, 6, "Table-caption", ("eq", 2), {None: (50, 720, 400, 750)}),        # below -> invalid
+    Family(8, 7, "Table-footnote", ("eq", 5), {None: (50, 710, 400, 735)}),
+    Family(9, 8, "Formula", ("eq", 8), {None: (200, 800, 500, 860)}),
+    Family(10, 9, "Formula-caption", ("eq", 8), {None: (200, 870, 500, 900)}),
+    Family(11, 2, "Abandon", ("eq", 9), {None: (100, 1500, 1100, 1530)}),  # boilerplate
+]
+
+FIGURE_CLASSES = {"Figure"}
+TABLE_CLASSES = {"Table"}
+FIGURE_CAPTION_CLASSES = {"Figure-Caption", "Figure-caption"}
+TABLE_CAPTION_CLASSES = {"Table-Caption", "Table-caption"}
+
+
+def _pred_holds(pred: tuple, s: int) -> bool:
+    kind = pred[0]
+    if kind == "always":
+        return True
+    if kind == "le":
+        return s <= pred[1]
+    if kind == "eq":
+        return s == pred[1]
+    if kind == "in":
+        return s in pred[1]
+    raise ValueError(f"unknown pred {pred}")
+
+
+def _pred_sql(pred: tuple) -> str:
+    kind = pred[0]
+    if kind == "always":
+        return "TRUE"
+    if kind == "le":
+        return f"s <= {pred[1]}"
+    if kind == "eq":
+        return f"s = {pred[1]}"
+    if kind == "in":
+        return f"s IN ({', '.join(str(v) for v in pred[1])})"
+    raise ValueError(f"unknown pred {pred}")
+
+
+def block_text(norm_name: str, doc_id: int, p: int, b: int) -> str:
+    return f"{norm_name.lower()} d{doc_id} p{p} b{b}"
+
+
+# ---------------------------------------------------------------------------
+# rendering 1: pure-Python page generator
+# ---------------------------------------------------------------------------
+
+def page_blocks(doc_id: int, p: int) -> list[dict]:
+    """All blocks of page p (1-indexed) of doc_id, in model-output order."""
+    s = scenario(doc_id, p)
+    out = []
+    for fam in FAMILIES:
+        if not _pred_holds(fam.pred, s):
+            continue
+        g = fam.geom.get(s, fam.geom.get(None))
+        if g is None:
+            continue
+        x1, y1, x2, y2 = g
+        out.append({
+            "b": fam.b,
+            "class_id": fam.class_id,
+            "raw_name": fam.raw_name,
+            "class_name": fam.norm_name,
+            "confidence": confidence(doc_id, p, fam.b),
+            "x1": float(x1), "y1": float(y1), "x2": float(x2), "y2": float(y2),
+            "text": block_text(fam.norm_name, doc_id, p, fam.b),
+        })
+    return out
+
+
+def doc_pages(doc_id: int) -> list[dict]:
+    return [
+        {
+            "page_no": p,
+            "width": PAGE_W,
+            "height": PAGE_H,
+            "blocks": page_blocks(doc_id, p),
+        }
+        for p in range(1, n_pages(doc_id) + 1)
+    ]
+
+
+def doc_html(doc_id: int) -> bytes:
+    """The synthetic 'raw document bytes' payload stored in pages.html.
+
+    A self-describing JSON container standing in for PDF bytes: the
+    rasterize / detect / clipped-text UDF *stubs* decode it; the real
+    backends (fitz + DocLayout-YOLO) plug in behind the same schemas.
+    Block payload keeps only what a PDF would know (geometry + source
+    text); detection-level fields (class/conf) are carried so the stub
+    detector is deterministic.
+    """
+    pages = [
+        {
+            "page_no": pg["page_no"],
+            "width": pg["width"],
+            "height": pg["height"],
+            "blocks": [
+                {
+                    "b": blk["b"],
+                    "class_id": blk["class_id"],
+                    "name": blk["raw_name"],
+                    "conf": blk["confidence"],
+                    "bbox": [blk["x1"], blk["y1"], blk["x2"], blk["y2"]],
+                    "text": blk["text"],
+                }
+                for blk in pg["blocks"]
+            ],
+        }
+        for pg in doc_pages(doc_id)
+    ]
+    return json.dumps({"v": 1, "pages": pages}, separators=(",", ":")).encode("utf-8")
+
+
+def doc_text(doc_id: int) -> str:
+    """Ground-truth main-content text: non-Abandon blocks in reading order
+    (page_no, y1, x1), newline-joined. On this corpus geometry the recursive
+    XY-cut order provably equals (y1, x1) order (single-column pages are
+    y-disjoint; two-column pages have equal column tops)."""
+    parts = []
+    for pg in doc_pages(doc_id):
+        blocks = [b for b in pg["blocks"] if b["class_name"] != "Abandon"]
+        blocks.sort(key=lambda b: (b["y1"], b["x1"]))
+        parts.extend(b["text"] for b in blocks)
+    return "\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# rendering 2: DuckDB SQL CTE builder (for __spark_entry__.oracle_sql)
+# ---------------------------------------------------------------------------
+
+def _geom_sql(fam: Family, coord: int) -> str:
+    """CASE expression (or literal) for one bbox coordinate of a family."""
+    default = fam.geom.get(None)
+    variants = {s: g for s, g in fam.geom.items() if s is not None}
+    if not variants:
+        return f"CAST({default[coord]} AS DOUBLE)"
+    whens = " ".join(
+        f"WHEN s = {s} THEN CAST({g[coord]} AS DOUBLE)" for s, g in sorted(variants.items())
+    )
+    els = f" ELSE CAST({default[coord]} AS DOUBLE)" if default else " ELSE NULL"
+    return f"CASE {whens}{els} END"
+
+
+def detections_cte(docs_table: str = "documents") -> str:
+    """WITH-clause body regenerating the per-page detections purely in SQL.
+
+    Exposes CTE ``det`` with columns:
+      doc_id, url, p (page_no), s, b, class_id, class_name,
+      x1, y1, x2, y2, confidence, txt
+    """
+    family_selects = []
+    for fam in FAMILIES:
+        sel = (
+            "SELECT doc_id, url, p, s, "
+            f"{fam.b} AS b, {fam.class_id} AS class_id, "
+            f"'{fam.norm_name}' AS class_name, "
+            f"{_geom_sql(fam, 0)} AS x1, {_geom_sql(fam, 1)} AS y1, "
+            f"{_geom_sql(fam, 2)} AS x2, {_geom_sql(fam, 3)} AS y2 "
+            f"FROM ps WHERE {_pred_sql(fam.pred)}"
+        )
+        family_selects.append(sel)
+    union = "\nUNION ALL\n".join(family_selects)
+    return f"""
+docs AS (
+    SELECT doc_id,
+           printf('{URL_FMT}', doc_id) AS url,
+           CASE WHEN doc_id % {GIANT_MOD} = 0 THEN {GIANT_PAGES}
+                ELSE 1 + (doc_id % 8) END AS npages
+    FROM {docs_table}
+),
+pagelist AS (
+    SELECT doc_id, url, unnest(generate_series(1, npages)) AS p FROM docs
+),
+ps AS (
+    SELECT doc_id, url, p, (doc_id * 131 + p * 17) % 10 AS s FROM pagelist
+),
+det_raw AS (
+{union}
+),
+det AS (
+    SELECT doc_id, url, p, s, b, class_id, class_name, x1, y1, x2, y2,
+           (8 + ((doc_id * 13 + p * 7 + b * 3) % 8)) / 16.0 AS confidence,
+           printf('%s d%d p%d b%d', lower(class_name), doc_id, p, b) AS txt
+    FROM det_raw
+)""".strip()
+
+
+def matched_items_cte(docs_table: str = "documents") -> str:
+    """Extends detections_cte with CTE ``matched`` replicating the caption
+    matcher (figures search BELOW, tables ABOVE; max vertical distance 100,
+    min horizontal overlap 0.3 of the smaller width — caption_matcher.py:21-131)
+    and the per-document cumulative item_id counter (figure_extractor.py:179-244).
+
+    On this corpus each (page, type) has <=1 item and <=1 caption, so the
+    reference's greedy assignment reduces to the validity predicate (the
+    multi-candidate greedy semantics are exercised in pytest against the
+    Python oracle instead).
+    """
+    base = detections_cte(docs_table)
+    overlap = (
+        "(GREATEST(0.0, LEAST(i.x2, c.x2) - GREATEST(i.x1, c.x1))"
+        " / LEAST(i.x2 - i.x1, c.x2 - c.x1))"
+    )
+    return f"""{base},
+items AS (
+    SELECT doc_id, url, p, b, x1, y1, x2, y2,
+           CASE WHEN class_name = 'Figure' THEN 'figure' ELSE 'table' END AS item_type
+    FROM det WHERE class_name IN ('Figure', 'Table')
+),
+captions AS (
+    SELECT doc_id, url, p, b, x1, y1, x2, y2, txt,
+           CASE WHEN class_name = 'Figure-Caption' THEN 'figure' ELSE 'table' END AS item_type
+    FROM det WHERE class_name IN ('Figure-Caption', 'Table-Caption')
+),
+matched AS (
+    SELECT i.doc_id, i.url, i.p, i.item_type,
+           printf(CASE WHEN i.item_type = 'figure' THEN 'fig_%02d_%02d'
+                       ELSE 'table_%02d_%02d' END,
+                  i.p,
+                  row_number() OVER (PARTITION BY i.doc_id, i.item_type
+                                     ORDER BY i.p, i.b)) AS item_id,
+           i.x1 AS item_x1, i.y1 AS item_y1, i.x2 AS item_x2, i.y2 AS item_y2,
+           c.x1 AS cap_x1, c.y1 AS cap_y1, c.x2 AS cap_x2, c.y2 AS cap_y2,
+           c.txt AS caption_text
+    FROM items i
+    LEFT JOIN captions c
+      ON i.doc_id = c.doc_id AND i.p = c.p AND i.item_type = c.item_type
+     AND CASE WHEN i.item_type = 'figure'
+              THEN (c.y1 - i.y2) >= 0 AND (c.y1 - i.y2) <= 100
+              ELSE (i.y1 - c.y2) >= 0 AND (i.y1 - c.y2) <= 100 END
+     AND {overlap} >= 0.3
+)""".strip()
+
+
+def doc_text_sql(docs_table: str = "documents") -> str:
+    """Full SELECT returning (url, doc_text) — the byte-identity oracle."""
+    base = detections_cte(docs_table)
+    return f"""WITH {base}
+SELECT url,
+       string_agg(txt, chr(10) ORDER BY p, y1, x1) AS doc_text
+FROM det
+WHERE class_name <> 'Abandon'
+GROUP BY url"""
