@@ -41,3 +41,39 @@ def build_pages(spark: SparkSession, sf_dir: str, num_partitions: int | None = N
     if num_partitions:
         docs = docs.repartition(num_partitions)
     return docs.mapInPandas(_gen_batches, schema=PAGES_SCHEMA)
+
+
+def build_ground_truth(matched: DataFrame) -> DataFrame:
+    """Synthetic VLM-style ground-truth table derived from the matcher output
+    with native column arithmetic — the Spark twin of
+    synthdata.ground_truth_cte (same variant formulas, independently
+    implemented)."""
+    from pyspark.sql import functions as F
+
+    doc_id = F.regexp_extract("url", r"([0-9]+)$", 1).cast("long")
+    g = F.floor((doc_id + F.col("page_number")) / 2).cast("long") % 4
+    shift = (
+        F.when(g == 1, F.lit(10.0)).when(g == 2, F.lit(150.0)).otherwise(F.lit(0.0))
+    )
+    wrong_cap = g == 3
+    return matched.select(
+        "url",
+        F.col("page_number"),
+        F.concat(F.lit("gt_"), F.col("item_id")).alias("figure_id"),
+        F.col("item_type").alias("figure_type"),
+        F.when((doc_id * 3 + F.col("page_number") * 11) % 7 == 0, F.lit(0.5))
+        .otherwise(F.lit(0.75))
+        .alias("confidence"),
+        (F.col("item_x1") + shift).alias("gt_x1"),
+        (F.col("item_y1") + shift).alias("gt_y1"),
+        (F.col("item_x2") + shift).alias("gt_x2"),
+        (F.col("item_y2") + shift).alias("gt_y2"),
+        F.when(wrong_cap, F.lit(600.0)).otherwise(F.col("cap_x1")).alias("gcap_x1"),
+        F.when(wrong_cap, F.lit(420.0)).otherwise(F.col("cap_y1")).alias("gcap_y1"),
+        F.when(wrong_cap, F.lit(800.0)).otherwise(F.col("cap_x2")).alias("gcap_x2"),
+        F.when(wrong_cap, F.lit(460.0)).otherwise(F.col("cap_y2")).alias("gcap_y2"),
+        F.when(
+            wrong_cap | F.col("cap_x1").isNotNull(),
+            F.concat(F.lit("cap_"), F.col("item_id")),
+        ).alias("cap_id"),
+    )

@@ -334,6 +334,44 @@ matched AS (
 )""".strip()
 
 
+def ground_truth_cte(docs_table: str = "documents") -> str:
+    """Extends matched_items_cte with CTE ``gt`` — a synthetic VLM-style
+    ground-truth table (benchmarks/caption_evaluator/dataset.py:13-49) with
+    controlled perturbations so every evaluator verdict class is exercised:
+
+      variant g = ((doc_id + page_number) // 2) % 4:
+        g=0  exact bbox, expected caption        -> TP / correct_no_caption
+        g=1  bbox shifted +10px (IoU > 0.5)      -> TP / correct_no_caption
+        g=2  bbox shifted +150px (IoU < 0.5)     -> FN / correct_no_caption
+        g=3  wrong caption bbox (non-null)       -> wrong_match (FP+FN) / FN
+      confidence 0.5 when (doc_id*3 + p*11) % 7 = 0 (filtered at >= 0.7), else 0.75.
+    """
+    base = matched_items_cte(docs_table)
+    return f"""{base},
+gt AS (
+    SELECT m.url, m.p AS page_number,
+           'gt_' || m.item_id AS figure_id,
+           m.item_type AS figure_type,
+           ((m.doc_id + m.p) // 2) % 4 AS g,
+           CASE WHEN (m.doc_id * 3 + m.p * 11) % 7 = 0 THEN 0.5 ELSE 0.75 END AS confidence,
+           m.item_x1 + (CASE WHEN ((m.doc_id + m.p) // 2) % 4 = 1 THEN 10
+                             WHEN ((m.doc_id + m.p) // 2) % 4 = 2 THEN 150 ELSE 0 END) AS gt_x1,
+           m.item_y1 + (CASE WHEN ((m.doc_id + m.p) // 2) % 4 = 1 THEN 10
+                             WHEN ((m.doc_id + m.p) // 2) % 4 = 2 THEN 150 ELSE 0 END) AS gt_y1,
+           m.item_x2 + (CASE WHEN ((m.doc_id + m.p) // 2) % 4 = 1 THEN 10
+                             WHEN ((m.doc_id + m.p) // 2) % 4 = 2 THEN 150 ELSE 0 END) AS gt_x2,
+           m.item_y2 + (CASE WHEN ((m.doc_id + m.p) // 2) % 4 = 1 THEN 10
+                             WHEN ((m.doc_id + m.p) // 2) % 4 = 2 THEN 150 ELSE 0 END) AS gt_y2,
+           CASE WHEN ((m.doc_id + m.p) // 2) % 4 = 3 THEN CAST(600 AS DOUBLE) ELSE m.cap_x1 END AS gcap_x1,
+           CASE WHEN ((m.doc_id + m.p) // 2) % 4 = 3 THEN CAST(420 AS DOUBLE) ELSE m.cap_y1 END AS gcap_y1,
+           CASE WHEN ((m.doc_id + m.p) // 2) % 4 = 3 THEN CAST(800 AS DOUBLE) ELSE m.cap_x2 END AS gcap_x2,
+           CASE WHEN ((m.doc_id + m.p) // 2) % 4 = 3 THEN CAST(460 AS DOUBLE) ELSE m.cap_y2 END AS gcap_y2,
+           CASE WHEN ((m.doc_id + m.p) // 2) % 4 = 3 OR m.cap_x1 IS NOT NULL
+                THEN 'cap_' || m.item_id END AS cap_id
+    FROM matched m
+)""".strip()
+
+
 def doc_text_sql(docs_table: str = "documents") -> str:
     """Full SELECT returning (url, doc_text) — the byte-identity oracle."""
     base = detections_cte(docs_table)
@@ -343,3 +381,117 @@ SELECT url,
 FROM det
 WHERE class_name <> 'Abandon'
 GROUP BY url"""
+
+
+def _iou_sql(a: str, b: str) -> str:
+    """IoU between bbox column prefixes (a_x1.. vs b_x1..) as a SQL expr."""
+    ix = f"(LEAST({a}x2, {b}x2) - GREATEST({a}x1, {b}x1))"
+    iy = f"(LEAST({a}y2, {b}y2) - GREATEST({a}y1, {b}y1))"
+    inter = f"(CASE WHEN {ix} > 0 AND {iy} > 0 THEN {ix} * {iy} ELSE 0.0 END)"
+    area_a = f"(({a}x2 - {a}x1) * ({a}y2 - {a}y1))"
+    area_b = f"(({b}x2 - {b}x1) * ({b}y2 - {b}y1))"
+    union = f"({area_a} + {area_b} - {inter})"
+    return f"(CASE WHEN {union} <= 0 THEN 0.0 ELSE {inter} / {union} END)"
+
+
+def sql_round_half_up(expr: str, digits: int) -> str:
+    """Same explicit half-up rounding formula as functions.geometry.round_half_up."""
+    factor = float(10 ** digits)
+    return f"(floor(({expr}) * {factor} + 0.5) / {factor})"
+
+
+def _comparisons_cte(docs_table: str = "documents",
+                     confidence_threshold: float = 0.7) -> str:
+    """CTE chain ending in ``verd`` — per-GT verdicts, mirroring
+    operators.evaluate.compare_matches."""
+    base = ground_truth_cte(docs_table)
+    iou_fig = _iou_sql("gt_", "item_")
+    iou_cap = _iou_sql("gcap_", "cap_")
+    return f"""{base},
+gtf AS (SELECT * FROM gt WHERE confidence >= {confidence_threshold}),
+paired AS (
+    SELECT g.url, g.figure_id, g.figure_type, g.page_number, g.cap_id,
+           g.gt_x1, g.gt_y1, g.gt_x2, g.gt_y2,
+           g.gcap_x1, g.gcap_y1, g.gcap_x2, g.gcap_y2,
+           p.item_type, p.item_id,
+           p.item_x1 AS item_x1, p.item_y1 AS item_y1,
+           p.item_x2 AS item_x2, p.item_y2 AS item_y2,
+           p.cap_x1, p.cap_y1, p.cap_x2, p.cap_y2,
+           {iou_fig} AS figure_iou
+    FROM gtf g JOIN matched p ON g.url = p.url AND g.page_number = p.p
+),
+best AS (
+    SELECT * FROM paired
+    QUALIFY row_number() OVER (PARTITION BY url, figure_id
+                               ORDER BY figure_iou DESC, item_type, item_id) = 1
+),
+verd AS (
+    SELECT url, figure_id, figure_type, page_number, cap_id,
+           (gcap_x1 IS NOT NULL) AS gt_has_caption,
+           (figure_iou >= 0.5 AND cap_x1 IS NOT NULL) AS pred_has_caption,
+           CASE
+             WHEN gcap_x1 IS NULL AND NOT (figure_iou >= 0.5 AND cap_x1 IS NOT NULL) THEN TRUE
+             WHEN gcap_x1 IS NOT NULL AND (figure_iou >= 0.5 AND cap_x1 IS NOT NULL)
+               THEN {iou_cap} >= 0.5
+             ELSE FALSE
+           END AS is_correct
+    FROM best
+),
+cmp AS (
+    SELECT *,
+           CASE WHEN is_correct THEN NULL
+                WHEN NOT gt_has_caption AND pred_has_caption THEN 'false_positive'
+                WHEN gt_has_caption AND NOT pred_has_caption THEN 'false_negative'
+                ELSE 'wrong_match' END AS error_type
+    FROM verd
+)""".strip()
+
+
+def evaluation_summary_sql(docs_table: str = "documents") -> str:
+    """One-row overall metrics — oracle for operators.evaluate.evaluation_summary."""
+    base = _comparisons_cte(docs_table)
+    p = "CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END"
+    r = "CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END"
+    f1 = ("CASE WHEN precision + recall > 0 "
+          "THEN 2 * precision * recall / (precision + recall) ELSE 0.0 END")
+    return f"""WITH {base},
+counts AS (
+    SELECT count(*) FILTER (is_correct AND gt_has_caption) AS tp,
+           count(*) FILTER (is_correct AND NOT gt_has_caption) AS correct_no_caption,
+           count(*) FILTER (error_type IN ('false_positive', 'wrong_match')) AS fp,
+           count(*) FILTER (error_type IN ('false_negative', 'wrong_match')) AS fn,
+           count(*) AS total
+    FROM cmp
+),
+m AS (SELECT *, {p} AS precision, {r} AS recall FROM counts)
+SELECT tp, correct_no_caption, fp, fn, total,
+       {sql_round_half_up('precision', 4)} AS precision,
+       {sql_round_half_up('recall', 4)} AS recall,
+       {sql_round_half_up(f1, 4)} AS f1
+FROM m"""
+
+
+def per_type_metrics_sql(docs_table: str = "documents") -> str:
+    """Per figure_type metrics — oracle for operators.evaluate.per_type_metrics."""
+    base = _comparisons_cte(docs_table)
+    p = "CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END"
+    r = "CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END"
+    f1 = ("CASE WHEN precision + recall > 0 "
+          "THEN 2 * precision * recall / (precision + recall) ELSE 0.0 END")
+    return f"""WITH {base},
+counts AS (
+    SELECT figure_type,
+           count(*) FILTER (is_correct AND cap_id IS NOT NULL) AS tp,
+           count(*) FILTER (error_type = 'false_positive') AS fp,
+           count(*) FILTER (error_type = 'false_negative') AS fn,
+           count(*) FILTER (is_correct) AS correct,
+           count(*) AS total
+    FROM cmp GROUP BY figure_type
+),
+m AS (SELECT *, {p} AS precision, {r} AS recall FROM counts)
+SELECT figure_type, tp, fp, fn, correct, total,
+       {sql_round_half_up('precision', 4)} AS precision,
+       {sql_round_half_up('recall', 4)} AS recall,
+       {sql_round_half_up(f1, 4)} AS f1,
+       {sql_round_half_up('CAST(correct AS DOUBLE) / total', 4)} AS accuracy
+FROM m"""
