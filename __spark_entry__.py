@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship end-to-end extraction (byte-identity surface).
+``queries()`` — one entry per implemented operator from SURVEY.md §2 plus
+the training-data-pipeline operators (dedup / similarity / text analysis).
+``oracle_sql()`` — independent DuckDB implementations of the same queries
+(the synthetic corpus is regenerated in pure SQL by
+paper_layout_parser_spark.synthdata, so the comparison cross-checks two
+implementations end to end, including the mapInPandas stages).
 """
 
 from __future__ import annotations
@@ -12,27 +14,412 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from paper_layout_parser_spark import synthdata as sd
+from paper_layout_parser_spark.corpus import build_ground_truth, build_pages
+from paper_layout_parser_spark.functions.geometry import round_half_up
+from paper_layout_parser_spark.functions import text as tfn
+from paper_layout_parser_spark.operators import dedup as dd
+from paper_layout_parser_spark.operators import similarity as sim
+from paper_layout_parser_spark.operators.evaluate import (
+    compare_matches,
+    evaluation_summary,
+    per_type_metrics,
+)
+from paper_layout_parser_spark.operators.rasterize import probe_pages
+from paper_layout_parser_spark.operators.stats import (
+    class_stats,
+    doc_stats,
+    extraction_stats,
+    page_detection_counts,
+    summary_report,
+)
+from paper_layout_parser_spark.plans.pipeline import PipelineOutputs, run_pipeline
+
+# ---------------------------------------------------------------------------
+# pipeline cache: queries() callables share one pipeline run per sf_dir
+# ---------------------------------------------------------------------------
+
+_CACHE: dict[str, tuple] = {}
+
+
+def _pipeline(spark: SparkSession, sf_dir: str) -> tuple:
+    key = f"{id(spark)}:{sf_dir}"
+    if key not in _CACHE:
+        pages = build_pages(spark, sf_dir).persist()
+        out = run_pipeline(pages, persist_enriched=True)
+        out.matched = out.matched.persist()
+        _CACHE[key] = (pages, out)
+    return _CACHE[key]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _docs_with_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus re-keyed copies of every 10th doc (the driver corpus
+    has no exact duplicates, so synthesize some deterministically)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    extra = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return d.unionByName(extra)
+
+
+_DUPES_SQL = """
+(SELECT doc_id, text FROM documents
+ UNION ALL
+ SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# extraction-pipeline queries (run the REAL pipeline: binary html ->
+# mapInPandas rasterize -> detect -> native SQL downstream)
+# ---------------------------------------------------------------------------
+
+def q_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, out = _pipeline(spark, sf_dir)
+    return page_detection_counts(out.enriched).select(
+        "url", F.col("page_no").cast("long").alias("page_no"), "num_detections"
+    )
+
+
+def q_class_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, out = _pipeline(spark, sf_dir)
+    return class_stats(out.enriched)
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages, out = _pipeline(spark, sf_dir)
+    return doc_stats(out.enriched, total_pages=probe_pages(pages)).select(
+        "url", F.col("total_pages").cast("long").alias("total_pages"),
+        "total_detections", "average_detections_per_page",
+    )
+
+
+def q_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages, out = _pipeline(spark, sf_dir)
+    return summary_report(doc_stats(out.enriched, total_pages=probe_pages(pages)))
+
+
+def q_caption_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, out = _pipeline(spark, sf_dir)
+    return out.matched.select(
+        "url", "item_type", "item_id",
+        F.col("page_number").cast("long").alias("page_number"),
+        "item_x1", "item_y1", "item_x2", "item_y2",
+        "cap_x1", "cap_y1", "cap_x2", "cap_y2", "caption_text",
+    )
+
+
+def q_extraction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, out = _pipeline(spark, sf_dir)
+    return extraction_stats(out.matched)
+
+
+def q_doc_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, out = _pipeline(spark, sf_dir)
+    return out.doc_text
+
+
+def q_eval_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, out = _pipeline(spark, sf_dir)
+    gt = build_ground_truth(out.matched)
+    return evaluation_summary(compare_matches(gt, out.matched))
+
+
+def q_eval_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, out = _pipeline(spark, sf_dir)
+    gt = build_ground_truth(out.matched)
+    return per_type_metrics(compare_matches(gt, out.matched))
+
+
+# ---------------------------------------------------------------------------
+# training-data-pipeline queries (documents / embeddings driver tables)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup(_docs_with_dupes(spark, sf_dir))
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only driver check (hash family is engine-specific); pytest
+    # asserts recall against q_dedup_jaccard
+    return dd.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only driver check (xxhash64 has no DuckDB twin)
+    return dd.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    return sim.brute_force_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cos"
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only driver check (approximate by construction); pytest asserts
+    # recall against q_ann_topk
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    return sim.lsh_topk(emb, queries, k=10)
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.cosine_neardup_pairs(_embeddings(spark, sf_dir), threshold=0.4)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", tfn.predicted_lang(tfn.words(F.col("text"))).alias("pred_lang")
+    )
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    feats = tfn.quality_features(F.col("text"))
+    out = d.select(
+        "doc_id",
+        F.col("n_chars").alias("meta_n_chars"),
+        *[v.alias(k) for k, v in feats.items()],
+    )
+    return out.withColumn(
+        "quality_score",
+        tfn.score_from_features(
+            F.col("stopword_ratio"), F.col("alpha_ratio"), F.col("punct_ratio")
+        ),
+    ).drop("meta_n_chars")
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    counts = tfn.token_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        counts["ws_tokens"].cast("long").alias("ws_tokens"),
+        counts["re_tokens"].cast("long").alias("re_tokens"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    sh = tfn.shingles(tfn.words(F.col("text")), 3)
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("full_md5"),
+        F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("min_shingle_md5"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline on sf0.001 — per-url document text
+    (byte-identity surface) joined with per-doc stats."""
+    sf_dir = "/root/testdata/sf0.001"
+    pages, out = _pipeline(spark, sf_dir)
+    stats = doc_stats(out.enriched, total_pages=probe_pages(pages))
+    return out.doc_text.join(stats, "url")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "page_stats": q_page_stats,
+        "class_stats": q_class_stats,
+        "doc_stats": q_doc_stats,
+        "summary_report": q_summary_report,
+        "caption_match": q_caption_match,
+        "extraction_stats": q_extraction_stats,
+        "doc_text": q_doc_text,
+        "eval_summary": q_eval_summary,
+        "eval_per_type": q_eval_per_type,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "embed_neardup": q_embed_neardup,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_RH4 = lambda e: sd.sql_round_half_up(e, 4)  # noqa: E731
+_RH6 = lambda e: sd.sql_round_half_up(e, 6)  # noqa: E731
+
+_W = "string_split_regex(trim(text), '\\s+')"
+_SHINGLES = tfn.shingles_sql("w", 3)
+
+
+def _lang_sql() -> str:
+    score_exprs = []
+    for lang, markers in tfn.LANG_MARKERS.items():
+        hits = " + ".join(
+            f"len(list_filter(w, x -> x = '{m}'))" for m in markers
+        )
+        score_exprs.append(f"({hits}) AS s_{lang}")
+    langs = sorted(tfn.LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    pick = "'und'"
+    for lg in sorted(langs, reverse=True):
+        pick = f"CASE WHEN s_{lg} = best THEN '{lg}' ELSE {pick} END"
+    return f"""
+WITH d AS (SELECT doc_id, {_W} AS w FROM documents),
+s AS (SELECT doc_id, {', '.join(score_exprs)} FROM d),
+b AS (SELECT *, {best} AS best FROM s)
+SELECT doc_id, CASE WHEN best > 0 THEN {pick} ELSE 'und' END AS pred_lang FROM b"""
+
+
+def _quality_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, {_W} AS w,
+         length(text) AS n_chars,
+         len({_W}) AS n_words,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
+  FROM documents
+),
+f AS (
+  SELECT doc_id, n_chars, n_words,
+         {_RH4('(n_chars - (n_words - 1)) / (CASE WHEN n_words > 0 THEN n_words ELSE 1 END)')} AS avg_word_len,
+         {_RH4('n_alpha / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END)')} AS alpha_ratio,
+         {_RH4('n_punct / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END)')} AS punct_ratio,
+         {_RH4('(' + ' + '.join(f"len(list_filter(w, x -> x = '{sw}'))" for sw in tfn.STOPWORDS) + ') / (CASE WHEN n_words > 0 THEN n_words ELSE 1 END)')} AS stopword_ratio
+  FROM d
+)
+SELECT doc_id, n_chars, n_words, avg_word_len, alpha_ratio, punct_ratio,
+       stopword_ratio,
+       {_RH4('LEAST(stopword_ratio * 4, 1.0) * 0.4 + alpha_ratio * 0.4 + (1 - LEAST(punct_ratio * 5, 1.0)) * 0.2')} AS quality_score
+FROM f"""
+
+
+def _jaccard_sql(threshold: float = 0.3) -> str:
+    return f"""
+WITH docs AS (SELECT doc_id, {_W} AS w FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM docs),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS m
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       {_RH6('m::DOUBLE / (ca.n + cb.n - m)')} AS jaccard
+FROM inter
+JOIN cnt ca ON ca.doc_id = id_a
+JOIN cnt cb ON cb.doc_id = id_b
+WHERE m::DOUBLE / (ca.n + cb.n - m) >= {threshold}"""
+
+
+_COS = ("list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
+        "(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "
+        "sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))")
+
+
+def _ann_sql() -> str:
+    cos = _COS.format(a="q.qv", b="c.cv")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 25 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {cos} AS cos
+  FROM q, c WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
+       {_RH6('cos')} AS cos
+FROM scored
+QUALIFY rank <= 10"""
+
+
+def _neardup_sql(threshold: float = 0.4) -> str:
+    cos = _COS.format(a="a.embedding", b="b.embedding")
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_RH6(cos)} AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    det = sd.detections_cte("documents")
+    matched = sd.matched_items_cte("documents")
+    return {
+        "page_stats": f"""WITH {det}
+SELECT url, p AS page_no, count(*) AS num_detections
+FROM det GROUP BY url, p""",
+        "class_stats": f"""WITH {det}
+SELECT class_name, count(*) AS n_detections,
+       {_RH4('avg(confidence)')} AS avg_confidence
+FROM det GROUP BY class_name""",
+        "doc_stats": f"""WITH {det}
+SELECT url, max(npages) AS total_pages, count(*) AS total_detections,
+       {sd.sql_round_half_up('count(*)::DOUBLE / max(npages)', 2)} AS average_detections_per_page
+FROM (SELECT det.*, d.npages FROM det JOIN docs d USING (doc_id))
+GROUP BY url""",
+        "summary_report": f"""WITH {det},
+per_doc AS (
+  SELECT url, max(npages) AS total_pages, count(*) AS total_detections
+  FROM (SELECT det.*, d.npages FROM det JOIN docs d USING (doc_id))
+  GROUP BY url
+)
+SELECT count(*) AS total_documents,
+       CAST(sum(total_pages) AS BIGINT) AS total_pages,
+       CAST(sum(total_detections) AS BIGINT) AS total_detections,
+       {sd.sql_round_half_up('sum(total_detections)::DOUBLE / sum(total_pages)', 2)} AS average_detections_per_page
+FROM per_doc""",
+        "caption_match": f"""WITH {matched}
+SELECT url, item_type, item_id, p AS page_number,
+       item_x1, item_y1, item_x2, item_y2,
+       cap_x1, cap_y1, cap_x2, cap_y2, caption_text
+FROM matched""",
+        "extraction_stats": f"""WITH {matched}
+SELECT url, item_type, count(*) AS total_items,
+       count(*) FILTER (caption_text IS NOT NULL AND caption_text <> '') AS items_with_captions
+FROM matched GROUP BY url, item_type""",
+        "doc_text": sd.doc_text_sql("documents"),
+        "eval_summary": sd.evaluation_summary_sql("documents"),
+        "eval_per_type": sd.per_type_metrics_sql("documents"),
+        "dedup_exact": f"""
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+FROM {_DUPES_SQL} GROUP BY text""",
+        "dedup_jaccard": _jaccard_sql(0.3),
+        "ann_topk": _ann_sql(),
+        "embed_neardup": _neardup_sql(0.4),
+        "lang_id": _lang_sql(),
+        "quality": _quality_sql(),
+        "token_count": f"""
+SELECT doc_id,
+       len({_W}) AS ws_tokens,
+       len(regexp_extract_all(text, '{tfn.BPE_ISH}')) AS re_tokens
+FROM documents""",
+        "fingerprint": f"""
+WITH d AS (SELECT doc_id, text, {_W} AS w FROM documents)
+SELECT doc_id, md5(text) AS full_md5,
+       list_min([md5(s) for s in {_SHINGLES}]) AS min_shingle_md5
+FROM d""",
+        # dedup_minhash_lsh / simhash_pairs / ann_lsh: intentionally omitted
+        # (engine-specific hash families / approximate recall) -> rows-only
+        # driver check; pytest asserts recall vs the exact twins.
+    }

@@ -1,0 +1,136 @@
+"""Text-analysis column expressions for large-scale training-data pipelines:
+tokenization, shingling, language-ID heuristic, quality scoring,
+fingerprinting. All native Spark SQL (JVM-side, codegen-friendly); every
+expression has an exact ANSI-SQL twin used by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .geometry import round_half_up
+
+# regexes shared verbatim with the DuckDB oracle (keep dialect-neutral)
+WS_SPLIT = r"\s+"
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+
+def words(text: Column) -> Column:
+    return F.split(F.trim(text), WS_SPLIT)
+
+
+def shingles(words_col: Column, k: int = 3) -> Column:
+    """k-word shingles (space-joined), distinct; empty array when < k words.
+    element_at is 1-based — mirrored by 1-based slices in the DuckDB twin."""
+    expr = F.transform(
+        F.sequence(F.lit(0), F.size(words_col) - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words_col, i + j + 1) for j in range(k)]
+        ),
+    )
+    return F.when(F.size(words_col) >= k, F.array_distinct(expr)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles_sql(words_expr: str, k: int = 3) -> str:
+    """DuckDB twin of ``shingles`` (1-based, end-inclusive slices)."""
+    return (
+        f"(CASE WHEN len({words_expr}) >= {k} THEN "
+        f"list_distinct([array_to_string({words_expr}[i:i+{k - 1}], ' ') "
+        f"for i in generate_series(1, len({words_expr}) - {k - 1})]) "
+        f"ELSE [] END)"
+    )
+
+
+def token_counts(text: Column) -> dict[str, Column]:
+    """Whitespace tokens + BPE-ish regex tokens (both engines count the
+    same regex)."""
+    return {
+        "ws_tokens": F.size(words(text)),
+        "re_tokens": F.regexp_count(text, F.lit(BPE_ISH)),
+    }
+
+
+def _count_token(words_col: Column, token: str) -> Column:
+    # NB: the lambda must take exactly one arg (a second arg would be bound
+    # to the element index by Spark's higher-order filter)
+    def pred(w):
+        return w == F.lit(token)
+
+    return F.size(F.filter(words_col, pred))
+
+
+def stopword_hits(words_col: Column) -> Column:
+    total = F.lit(0)
+    for sw in STOPWORDS:
+        total = total + _count_token(words_col, sw)
+    return total
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Deterministic quality features (length / punctuation / stopword
+    ratios) — the building blocks of a C4/Gopher-style quality filter."""
+    w = words(text)
+    n_chars = F.length(text)
+    n_words = F.size(w)
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    sw_hits = stopword_hits(w)
+    safe_words = F.when(n_words > 0, n_words).otherwise(F.lit(1))
+    safe_chars = F.when(n_chars > 0, n_chars).otherwise(F.lit(1))
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "avg_word_len": round_half_up((n_chars - (n_words - 1)) / safe_words, 4),
+        "alpha_ratio": round_half_up(n_alpha / safe_chars, 4),
+        "punct_ratio": round_half_up(n_punct / safe_chars, 4),
+        "stopword_ratio": round_half_up(sw_hits / safe_words, 4),
+    }
+
+
+def score_from_features(stopword_ratio: Column, alpha_ratio: Column,
+                        punct_ratio: Column) -> Column:
+    """Single quality scalar in [0, 1]: rewards stopword presence and alpha
+    content, penalizes extreme punctuation — deterministic, SQL-twinnable
+    (a C4/Gopher-style heuristic)."""
+    raw = (
+        F.least(stopword_ratio * 4, F.lit(1.0)) * 0.4
+        + alpha_ratio * 0.4
+        + (1 - F.least(punct_ratio * 5, F.lit(1.0))) * 0.2
+    )
+    return round_half_up(raw, 4)
+
+
+# language-ID heuristic: stopword votes per language (n-gram/stopword
+# profiles; deterministic and SQL-twinnable)
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "to"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "es": ("el", "la", "los", "es", "de"),
+}
+
+
+def lang_scores(words_col: Column) -> dict[str, Column]:
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        score = F.lit(0)
+        for m in markers:
+            score = score + _count_token(words_col, m)
+        out[lang] = score
+    return out
+
+
+def predicted_lang(words_col: Column) -> Column:
+    """Argmax language with deterministic tie-break (lexicographic lang
+    code), 'und' when no marker hits at all."""
+    scores = lang_scores(words_col)
+    best_score = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in sorted(scores, reverse=True):
+        pred = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(pred)
+    return F.when(best_score > 0, pred).otherwise(F.lit("und"))

@@ -1,0 +1,156 @@
+"""Similarity search over an embedding column (array<float>).
+
+  * brute_force_topk — exact cosine top-k per query vector. The correctness
+    baseline; O(Q x N) but fully JVM-side (zip_with + aggregate fold, no
+    Python), broadcast the query side.
+  * lsh_topk         — random-hyperplane (SRP) LSH-bucketed approximate
+    variant: candidates share >= 1 hyperplane-sign band, then exact cosine
+    re-rank inside candidates. The 100 TB path: shuffle is O(N x bands).
+  * cosine_neardup_pairs — all pairs with cosine >= threshold (embedding
+    near-duplicate detection).
+
+Cosine accumulates in float64 in element order (aggregate is a sequential
+left fold), matching the DuckDB oracle's list_cosine_similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.geometry import round_half_up
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """For each query row, the top-k nearest candidates by cosine
+    (excluding self), deterministic tie-break on candidate id.
+
+    ``queries`` is expected to be small relative to ``embeddings`` —
+    broadcast it so the scan over the big side is shuffle-free."""
+    q = F.broadcast(queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ))
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                round_half_up(F.col("cos"), 6).alias("cos"))
+    )
+
+
+def srp_signatures(embeddings: DataFrame, num_planes: int = 16,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   dim: int = 64, seed: int = 7) -> DataFrame:
+    """Signed-random-projection bit signature, one bit per hyperplane.
+
+    Hyperplane coefficients are a deterministic +/-1 pattern derived from
+    xxhash64-free integer mixing (computed driver-side once, shipped as
+    literals — no RNG at runtime, reproducible across runs/engines)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.choice([-1.0, 1.0], size=(num_planes, dim))
+    sig = F.lit(0).cast("long")
+    for p in range(num_planes):
+        coeffs = F.array(*[F.lit(float(v)) for v in planes[p]])
+        dot = _dot(F.col(vec_col), coeffs)
+        sig = sig.bitwiseOR(
+            F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), p))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return embeddings.select(F.col(id_col).alias("vec_id"),
+                             F.col(vec_col).alias("embedding"),
+                             sig.alias("srp_sig"))
+
+
+def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+             num_planes: int = 16, bands: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int = 64) -> DataFrame:
+    """Approximate top-k: SRP band-bucket candidate join + exact cosine
+    re-rank. Recall < 1 by construction; the scale path when Q x N is too
+    large to brute-force."""
+    rows = num_planes // bands
+    mask = (1 << rows) - 1
+    sigs = srp_signatures(embeddings, num_planes, id_col, vec_col, dim)
+
+    def banded(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col("vec_id").alias(f"{side}_id"),
+            F.col("embedding").alias(f"{side}_v"),
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("srp_sig"), b * rows)
+                    .bitwiseAND(F.lit(mask)).alias("bucket"),
+                )
+                for b in range(bands)
+            ])).alias("bb"),
+        ).select(f"{side}_id", f"{side}_v", "bb.band", "bb.bucket")
+
+    qs = banded(
+        sigs.join(queries.select(F.col(id_col).alias("vec_id")), "vec_id"), "q"
+    )
+    cs = banded(sigs, "c")
+    cands = (
+        F.broadcast(qs).join(cs, ["band", "bucket"])
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "q_v", "c_id", "c_v")
+        .distinct()
+    )
+    scored = cands.withColumn("cos", cosine(F.col("q_v"), F.col("c_v")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("q_id").alias("query_id"), F.col("c_id").alias("neighbor_id"),
+                "rank", round_half_up(F.col("cos"), 6).alias("cos"))
+    )
+
+
+def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.4,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """All (a < b) pairs with cosine >= threshold. Exact; at scale, swap the
+    cross join for the SRP candidate join above."""
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cos)
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", round_half_up(F.col("cos"), 6).alias("cos"))
+    )
