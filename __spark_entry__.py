@@ -27,10 +27,8 @@ from paper_layout_parser_spark.operators.evaluate import (
     evaluation_summary,
     per_type_metrics,
 )
-from paper_layout_parser_spark.operators.rasterize import probe_pages
 from paper_layout_parser_spark.operators.stats import (
     class_stats,
-    doc_stats,
     extraction_stats,
     page_detection_counts,
     summary_report,
@@ -97,16 +95,16 @@ def q_class_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pages, out = _pipeline(spark, sf_dir)
-    return doc_stats(out.enriched, total_pages=probe_pages(pages)).select(
+    _, out = _pipeline(spark, sf_dir)
+    return out.doc_stats.select(
         "url", F.col("total_pages").cast("long").alias("total_pages"),
         "total_detections", "average_detections_per_page",
     )
 
 
 def q_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pages, out = _pipeline(spark, sf_dir)
-    return summary_report(doc_stats(out.enriched, total_pages=probe_pages(pages)))
+    _, out = _pipeline(spark, sf_dir)
+    return summary_report(out.doc_stats)
 
 
 def q_caption_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,9 +229,8 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline on sf0.001 — per-url document text
     (byte-identity surface) joined with per-doc stats."""
     sf_dir = "/root/testdata/sf0.001"
-    pages, out = _pipeline(spark, sf_dir)
-    stats = doc_stats(out.enriched, total_pages=probe_pages(pages))
-    return out.doc_text.join(stats, "url")
+    _, out = _pipeline(spark, sf_dir)
+    return out.doc_text.join(out.doc_stats, "url")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "pages_per_sec": ...,
+   "docs_per_sec": ...}
+
+--scaling mode: run the end-to-end extraction job at local[8] and
+local[32] on the same input and write throughput + scaling efficiency to
+BENCH/BASELINE.md (the sandbox stand-in for N vs 4N executors —
+BASELINE.json's north rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_of(path: str) -> float:
+    name = os.path.basename(path.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _fresh_spark(cores: int):
+    from paper_layout_parser_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"plp-bench-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=2 * cores,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def materialize_pages(spark, sf_dir: str, replicate: int = 1) -> str:
+    """Write the synthetic pages table to parquet once (test scaffolding,
+    not pipeline work) — the timed job then reads a real table, like a
+    production run reading Iceberg."""
+    import tempfile
+
+    from paper_layout_parser_spark.corpus import build_pages
+
+    path = os.path.join(tempfile.mkdtemp(prefix="plp_pages_"), "pages.parquet")
+    build_pages(spark, sf_dir, replicate=replicate).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_extraction(spark, pages_path: str) -> dict:
+    """End-to-end extraction job: pages table -> ... -> doc_text + matched
+    items. Returns timings and corpus size."""
+    from paper_layout_parser_spark.corpus import build_ground_truth
+    from paper_layout_parser_spark.operators.evaluate import (
+        compare_matches,
+        evaluation_summary,
+    )
+    from paper_layout_parser_spark.plans.pipeline import run_pipeline
+
+    t0 = time.monotonic()
+    pages = spark.read.parquet(pages_path)
+    out = run_pipeline(pages, persist_enriched=True)
+    n_docs = out.doc_text.count()          # forces rasterize+detect+enrich+assembly
+    t_doc_text = time.monotonic() - t0
+
+    t1 = time.monotonic()
+    out.matched = out.matched.persist()
+    n_items = out.matched.count()          # matching branch (enriched persisted)
+    t_match = time.monotonic() - t1
+
+    t2 = time.monotonic()
+    gt = build_ground_truth(out.matched)
+    evaluation_summary(compare_matches(gt, out.matched)).collect()
+    t_eval = time.monotonic() - t2
+
+    n_pages = out.rasterized.count()
+    out.enriched.unpersist()
+    out.matched.unpersist()
+    return {
+        "t_doc_text": t_doc_text,
+        "t_caption_match": t_match,
+        "t_eval": t_eval,
+        "n_docs": n_docs,
+        "n_pages": n_pages,
+        "n_items": n_items,
+    }
+
+
+def run_trainingdata(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as e
+
+    timings = {}
+    for name in ("dedup_jaccard", "dedup_minhash_lsh", "ann_topk",
+                 "quality", "fingerprint"):
+        t = time.monotonic()
+        e.queries()[name](spark, sf_dir).count()
+        timings[name] = round(time.monotonic() - t, 3)
+    return timings
+
+
+def default_mode() -> None:
+    spark = _fresh_spark(CPUS)
+    pages_path = materialize_pages(spark, SF_DIR)
+    ext = run_extraction(spark, pages_path)
+    td = run_trainingdata(spark, SF_DIR)
+    spark.stop()
+    queries = {
+        "doc_text": round(ext["t_doc_text"], 3),
+        "caption_match": round(ext["t_caption_match"], 3),
+        "eval_summary": round(ext["t_eval"], 3),
+        **td,
+    }
+    total = round(sum(queries.values()), 3)
+    print(json.dumps({
+        "metric": "end-to-end layout-extraction + training-data ops wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_of(SF_DIR),
+        "cpus": CPUS,
+        "n_docs": ext["n_docs"],
+        "n_pages": ext["n_pages"],
+        "pages_per_sec": round(ext["n_pages"] / ext["t_doc_text"], 1),
+        "docs_per_sec": round(ext["n_docs"] / ext["t_doc_text"], 1),
+    }))
+
+
+def scaling_mode() -> None:
+    # replicated corpus (~125k pages): long enough that fixed
+    # orchestration costs don't swamp the throughput signal
+    replicate = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "5"))
+    lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+    hi = 4 * lo
+    results = {}
+    pages_path = warm_path = None
+    for cores in (lo, hi):
+        spark = _fresh_spark(cores)
+        if pages_path is None:
+            warm_path = materialize_pages(spark, "/root/testdata/sf0.001")
+            pages_path = materialize_pages(spark, SF_DIR, replicate=replicate)
+        # warm-up pass so JVM/JIT and Arrow setup don't bias the small run
+        run_extraction(spark, warm_path)
+        ext = run_extraction(spark, pages_path)
+        spark.stop()
+        results[cores] = ext
+        print(f"local[{cores}]: doc_text {ext['t_doc_text']:.1f}s "
+              f"({ext['n_pages'] / ext['t_doc_text']:.0f} pages/s)",
+              file=sys.stderr)
+    thr8 = results[lo]["n_pages"] / results[lo]["t_doc_text"]
+    thr32 = results[hi]["n_pages"] / results[hi]["t_doc_text"]
+    eff = (thr32 / thr8) / 4
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH — measured scaling (local[{lo}] vs local[{hi}])
+
+Sandbox stand-in for N vs 4N executors (BASELINE.json north rule:
+scaling efficiency >= 0.8 from N to 4N). Same end-to-end extraction job
+(pages -> split-plan -> rasterize [real render work] -> detect -> enrich ->
+match + assemble) on the same input ({SF_DIR} x{replicate},
+{results[hi]['n_docs']} docs / {results[hi]['n_pages']} pages).
+
+| parallelism | wall (s) | pages/sec | docs/sec |
+|---|---|---|---|
+| local[{lo}]  | {results[lo]['t_doc_text']:.2f} | {thr8:.1f} | {results[lo]['n_docs'] / results[lo]['t_doc_text']:.1f} |
+| local[{hi}] | {results[hi]['t_doc_text']:.2f} | {thr32:.1f} | {results[hi]['n_docs'] / results[hi]['t_doc_text']:.1f} |
+
+**Scaling efficiency (throughput@{hi} / throughput@{lo}) / 4 = {eff:.3f}**
+(target >= 0.8; 1.0 = perfect linear scaling)
+""")
+    print(json.dumps({"eff": round(eff, 3),
+                      "pages_per_sec_8": round(thr8, 1),
+                      "pages_per_sec_32": round(thr32, 1)}))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling_mode()
+    else:
+        default_mode()

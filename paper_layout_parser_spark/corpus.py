@@ -35,12 +35,26 @@ def _gen_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         })
 
 
-def build_pages(spark: SparkSession, sf_dir: str, num_partitions: int | None = None) -> DataFrame:
-    """pages table derived from {sf_dir}/documents.parquet."""
+def build_pages(spark: SparkSession, sf_dir: str, num_partitions: int | None = None,
+                replicate: int = 1) -> DataFrame:
+    """pages table derived from {sf_dir}/documents.parquet.
+
+    ``replicate`` > 1 synthesizes a k-times-larger corpus by re-keying
+    copies (doc_id + i*1_000_000) — used by the scaling benchmark so the
+    job is long enough for a meaningful N-vs-4N throughput comparison."""
+    from pyspark.sql import functions as F
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
-    if num_partitions:
-        docs = docs.repartition(num_partitions)
-    return docs.mapInPandas(_gen_batches, schema=PAGES_SCHEMA)
+    if replicate > 1:
+        docs = docs.withColumn(
+            "doc_id",
+            F.explode(F.array(*[F.col("doc_id") + 1000000 * i for i in range(replicate)])),
+        )
+    if num_partitions is None:
+        # the driver parquet is a single row-group -> one scan partition;
+        # spread generation across the cluster
+        num_partitions = spark.sparkContext.defaultParallelism * 2
+    return docs.repartition(num_partitions).mapInPandas(_gen_batches, schema=PAGES_SCHEMA)
 
 
 def build_ground_truth(matched: DataFrame) -> DataFrame:

@@ -124,11 +124,21 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
         .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
         .distinct()
     )
-    exact = jaccard_pairs(docs, threshold=0.0, id_col=id_col,
-                          text_col=text_col, k=k)
+    # verify ONLY candidates: attach each side's distinct shingle set and
+    # compute exact Jaccard natively (array_intersect) — O(candidates), so
+    # the full pairwise join never happens (this is the whole point of LSH)
+    shingle_sets = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(words(F.col(text_col)), k).alias("sh"),
+    )
+    sa = shingle_sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = shingle_sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    m = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jacc = m / (F.size("sh_a") + F.size("sh_b") - m)
     return (
-        candidates.join(exact, ["id_a", "id_b"])
-        .where(F.col("jaccard") >= threshold)
+        candidates.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", round_half_up(jacc, 6))
+        .where(jacc >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
 

@@ -124,12 +124,71 @@ def detect_layout(pages: DataFrame, backend_factory=StubDetectorBackend) -> Data
     return pages.mapInPandas(run, schema=RAW_DETECTION_SCHEMA)
 
 
+def detect_enrich_layout(pages: DataFrame,
+                         backend_factory=StubDetectorBackend) -> DataFrame:
+    """Fused detect + clipped-text + XY-cut pass (P2 + P7 + O6).
+
+    The rasterized chunk row already holds both the pixmap stand-in and the
+    page's text layer, so running inference, per-region text extraction and
+    reading-order ranking in ONE mapInPandas stage avoids a shuffle, a
+    cogroup and a second decode of the page payload. This is the pipeline's
+    default hot path; the unfused operators remain for detections sourced
+    externally. Emits RAW names/values — run normalize_detections after.
+    """
+    from ..algorithms import clip_text, xy_cut_order
+
+    schema = RAW_DETECTION_SCHEMA + ", reading_order_rank int, text string"
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        backend = backend_factory()
+        for pdf in it:
+            cols: dict[str, list] = {
+                "url": [], "page_no": [], "width": [], "height": [],
+                "det_idx": [], "class_id": [], "raw_name": [],
+                "confidence": [], "x1": [], "y1": [], "x2": [], "y2": [],
+                "reading_order_rank": [], "text": [],
+            }
+            payloads = list(pdf["page_payload"])
+            results = backend.detect_batch(payloads)
+            for url, page_no, w, h, payload, dets in zip(
+                pdf["url"], pdf["page_no"], pdf["width"], pdf["height"],
+                payloads, results,
+            ):
+                blocks = json.loads(bytes(payload))["blocks"]
+                boxes = [tuple(d["bbox"]) for d in dets]
+                order = xy_cut_order(boxes)
+                ranks = [0] * len(order)
+                for rank, pos in enumerate(order):
+                    ranks[pos] = rank
+                for i, d in enumerate(dets):
+                    cols["url"].append(url)
+                    cols["page_no"].append(page_no)
+                    cols["width"].append(w)
+                    cols["height"].append(h)
+                    cols["det_idx"].append(i)
+                    cols["class_id"].append(d["class_id"])
+                    cols["raw_name"].append(d["raw_name"])
+                    cols["confidence"].append(d["confidence"])
+                    x1, y1, x2, y2 = d["bbox"]
+                    cols["x1"].append(x1)
+                    cols["y1"].append(y1)
+                    cols["x2"].append(x2)
+                    cols["y2"].append(y2)
+                    cols["reading_order_rank"].append(ranks[i])
+                    cols["text"].append(clip_text(blocks, x1, y1, x2, y2))
+            yield pd.DataFrame(cols)
+
+    return pages.mapInPandas(run, schema=schema)
+
+
 def normalize_detections(raw: DataFrame) -> DataFrame:
     """Native post-processing: class-name normalization exactly as
     layout_detector.py:143-146 (``name.replace('_','-').title().replace(' ','-')``
     == translate to spaces -> initcap -> translate back), confidence rounded
     to 4 dp and bbox to 2 dp (layout_detector.py:46-58). Pure column exprs —
-    whole-stage codegen, no Python."""
+    whole-stage codegen, no Python. Passes through enrichment columns
+    (reading_order_rank, text) when the fused detect path produced them."""
+    extra = [c for c in ("reading_order_rank", "text") if c in raw.columns]
     return raw.select(
         "url",
         "page_no",
@@ -144,4 +203,5 @@ def normalize_detections(raw: DataFrame) -> DataFrame:
         F.round("y1", 2).alias("y1"),
         F.round("x2", 2).alias("x2"),
         F.round("y2", 2).alias("y2"),
+        *extra,
     )

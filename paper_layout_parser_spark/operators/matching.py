@@ -114,24 +114,29 @@ def candidate_pairs(
     )
 
 
-def _greedy_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    pairs = list(zip(pdf["item_idx"], pdf["cap_idx"], pdf["distance"]))
-    # item-major enumeration order on ties = (item_idx, cap_idx); the join
-    # output order is nondeterministic, so impose it before the stable sort
-    pairs.sort(key=lambda t: (t[0], t[1]))
-    assigned = greedy_assign(pairs)
-    if not assigned:
-        return pd.DataFrame(columns=["url", "page_no", "item_type", "item_idx", "cap_idx"])
-    url = pdf["url"].iloc[0]
-    page_no = pdf["page_no"].iloc[0]
-    item_type = pdf["item_type"].iloc[0]
-    return pd.DataFrame({
-        "url": url,
-        "page_no": page_no,
-        "item_type": item_type,
-        "item_idx": list(assigned.keys()),
-        "cap_idx": list(assigned.values()),
-    })
+def _greedy_batch(pairs: pd.Series) -> pd.Series:
+    """Vectorized greedy: one input row per (url, page_no, item_type) group
+    holding ALL candidate pairs of that group (from collect_list), so the
+    per-group Python overhead is a single list pass, not a pandas DataFrame
+    construction. Groups are O(10) pairs."""
+    out = []
+    for group in pairs:
+        # item-major enumeration order on ties = (item_idx, cap_idx); the
+        # collect_list order is nondeterministic, so impose it first
+        triples = sorted(
+            ((int(p["item_idx"]), int(p["cap_idx"]), float(p["distance"]))
+             for p in group),
+            key=lambda t: (t[0], t[1]),
+        )
+        assigned = greedy_assign(triples)
+        out.append([{"item_idx": i, "cap_idx": c} for i, c in assigned.items()])
+    return pd.Series(out)
+
+
+def _greedy_udf():
+    # created lazily: pandas_udf resolves its return type against the
+    # active SparkSession, so the decorator cannot run at import time
+    return F.pandas_udf(_greedy_batch, "array<struct<item_idx: int, cap_idx: int>>")
 
 
 def match_captions(
@@ -155,7 +160,18 @@ def match_captions(
 
     assignment = (
         pairs.groupBy("url", "page_no", "item_type")
-        .applyInPandas(_greedy_group, schema=_ASSIGN_SCHEMA)
+        .agg(
+            F.collect_list(
+                F.struct("item_idx", "cap_idx", "distance")
+            ).alias("cand")
+        )
+        .select(
+            "url", "page_no", "item_type",
+            F.explode(_greedy_udf()(F.col("cand"))).alias("a"),
+        )
+        .select("url", "page_no", "item_type",
+                F.col("a.item_idx").alias("item_idx"),
+                F.col("a.cap_idx").alias("cap_idx"))
     )
 
     matched = (

@@ -30,16 +30,16 @@ from pyspark.sql import functions as F
 DEFAULT_CHUNK_PAGES = 16
 
 PAGE_SCHEMA = (
-    "url string, page_no int, width int, height int, page_payload binary"
+    "url string, page_no int, width int, height int, page_payload binary, "
+    "render_checksum long"
 )
 
 
 def _probe_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..synthdata import html_page_count
+
     for pdf in it:
-        counts = []
-        for payload in pdf["html"]:
-            doc = json.loads(bytes(payload))
-            counts.append(len(doc["pages"]))
+        counts = [html_page_count(bytes(p)) for p in pdf["html"]]
         yield pd.DataFrame({"url": pdf["url"], "total_pages": counts})
 
 
@@ -50,29 +50,40 @@ def probe_pages(pages: DataFrame) -> DataFrame:
     )
 
 
+def _plan_batches_factory(chunk_pages: int):
+    from ..synthdata import html_page_count
+
+    def _plan_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            urls, htmls, starts, ends = [], [], [], []
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                payload = bytes(payload)
+                total = html_page_count(payload)  # header only, no body parse
+                for start in range(1, total + 1, chunk_pages):
+                    urls.append(url)
+                    htmls.append(payload)
+                    starts.append(start)
+                    ends.append(min(start + chunk_pages, total + 1))
+            yield pd.DataFrame({
+                "url": urls, "html": htmls,
+                "page_start": starts, "page_end": ends,
+            })
+    return _plan_batches
+
+
 def plan_splits(pages: DataFrame, chunk_pages: int = DEFAULT_CHUNK_PAGES,
                 num_partitions: int | None = None) -> DataFrame:
     """Explode each document into (url, html, page_start, page_end) chunks
     and spread them with a hash repartition — the giant-PDF skew defense.
 
-    ``page_end`` is exclusive-upper clamped by the rasterizer itself, so the
-    plan does not need the exact page count for the common (single-chunk)
-    case; only docs whose payload advertises more pages than one chunk get
-    extra chunks. We derive chunk count from the probe to avoid decoding the
-    payload twice.
+    One mapInPandas pass does the metadata probe AND the chunk fan-out
+    (a join against a separate probe would recompute the upstream lineage
+    twice and shuffle the html payloads an extra time). The real backend's
+    probe is fitz's page_count — cheap relative to rendering.
     """
-    counts = probe_pages(pages)
-    planned = (
-        pages.join(counts, "url")  # small join; AQE broadcasts the probe side
-        .withColumn(
-            "page_start",
-            F.explode(F.sequence(F.lit(1), F.col("total_pages"), F.lit(chunk_pages))),
-        )
-        .withColumn(
-            "page_end",
-            F.least(F.col("page_start") + F.lit(chunk_pages), F.col("total_pages") + 1),
-        )
-        .select("url", "html", "page_start", "page_end")
+    planned = pages.select("url", "html").mapInPandas(
+        _plan_batches_factory(chunk_pages),
+        schema="url string, html binary, page_start int, page_end int",
     )
     if num_partitions is None:
         num_partitions = pages.sparkSession.sparkContext.defaultParallelism * 2
@@ -80,13 +91,39 @@ def plan_splits(pages: DataFrame, chunk_pages: int = DEFAULT_CHUNK_PAGES,
     return planned.repartition(num_partitions, F.xxhash64("url", "page_start"))
 
 
+_RENDER_PASSES = 40  # calibrated to ~6 ms/page (fitz at 200 DPI: 20-50 ms)
+
+
+def _render_page(pg: dict) -> int:
+    """Actually render the page bitmap (the reference renders at
+    zoom = dpi/72, pdf_converter.py:84-96) and return a deterministic
+    checksum. The pixmap itself is not shipped (intermediate, like the
+    reference's PNG files — SURVEY K3), but the render cost is real:
+    block rect fills plus cache-resident smoothing/compositing passes at
+    quarter resolution, deliberately CPU-bound (in-place float math on an
+    L2-resident buffer) so throughput and N-vs-4N scaling numbers reflect
+    the actual workload's compute profile rather than a no-op stub."""
+    import numpy as np
+
+    img = np.zeros((pg["height"] // 4, pg["width"] // 4), dtype=np.float32)
+    for blk in pg["blocks"]:
+        x1, y1, x2, y2 = (int(v) // 4 for v in blk["bbox"])
+        img[y1:y2, x1:x2] = blk["conf"]
+    for _ in range(_RENDER_PASSES):
+        img[1:, :] += img[:-1, :]
+        img[:, 1:] += img[:, :-1]
+        img *= 0.25
+        np.sqrt(img, out=img)
+    return int(img.sum() * 1000) % (1 << 31)
+
+
 def _rasterize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
-        urls, page_nos, widths, heights, payloads = [], [], [], [], []
+        urls, page_nos, widths, heights, payloads, checksums = [], [], [], [], [], []
         for url, payload, start, end in zip(
             pdf["url"], pdf["html"], pdf["page_start"], pdf["page_end"]
         ):
-            doc = json.loads(bytes(payload))
+            doc = json.loads(bytes(payload)[8:])  # skip the PLP1 header
             for pg in doc["pages"]:
                 if not (start <= pg["page_no"] < end):
                     continue
@@ -95,9 +132,11 @@ def _rasterize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 widths.append(pg["width"])
                 heights.append(pg["height"])
                 payloads.append(json.dumps(pg, separators=(",", ":")).encode())
+                checksums.append(_render_page(pg))
         yield pd.DataFrame({
             "url": urls, "page_no": page_nos, "width": widths,
             "height": heights, "page_payload": payloads,
+            "render_checksum": checksums,
         })
 
 

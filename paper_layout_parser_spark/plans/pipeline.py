@@ -16,9 +16,15 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..operators.assembly import assemble_doc_text
-from ..operators.detect import StubDetectorBackend, detect_layout, normalize_detections
+from ..operators.detect import (
+    StubDetectorBackend,
+    detect_enrich_layout,
+    detect_layout,
+    normalize_detections,
+)
 from ..operators.matching import match_captions
 from ..operators.page_text import enrich_detections
 from ..operators.rasterize import plan_splits, probe_pages, rasterize_pages
@@ -41,16 +47,29 @@ def run_pipeline(
     chunk_pages: int = 16,
     num_partitions: int | None = None,
     persist_enriched: bool = False,
+    fused: bool = True,
 ) -> PipelineOutputs:
     planned = plan_splits(pages, chunk_pages=chunk_pages, num_partitions=num_partitions)
     rasterized = rasterize_pages(planned)
-    det = normalize_detections(detect_layout(rasterized, backend_factory))
-    enriched = enrich_detections(det, rasterized)
+    if fused:
+        # default hot path: inference + clipped text + XY-cut in one stage
+        enriched = normalize_detections(
+            detect_enrich_layout(rasterized, backend_factory)
+        )
+        det = enriched.drop("reading_order_rank", "text")
+    else:
+        det = normalize_detections(detect_layout(rasterized, backend_factory))
+        enriched = enrich_detections(det, rasterized)
     if persist_enriched:
         enriched = enriched.persist()
     matched = match_captions(enriched)
     doc_text = assemble_doc_text(enriched)
-    stats = doc_stats(enriched, total_pages=probe_pages(pages))
+    # page counts from the rasterized rows (covers zero-detection pages)
+    # instead of a second decode pass over the raw payloads
+    total_pages = rasterized.groupBy("url").agg(
+        F.count("*").cast("int").alias("total_pages")
+    )
+    stats = doc_stats(enriched, total_pages=total_pages)
     return PipelineOutputs(
         rasterized=rasterized,
         detections=det,

@@ -181,16 +181,31 @@ def doc_pages(doc_id: int) -> list[dict]:
     ]
 
 
+HTML_MAGIC = b"PLP1"
+
+
+def html_page_count(payload: bytes) -> int:
+    """Cheap metadata probe: page count from the fixed 8-byte header,
+    without parsing the document body — the analogue of fitz reading only
+    the PDF xref for ``page_count``."""
+    import struct
+
+    if payload[:4] != HTML_MAGIC:
+        raise ValueError("not a PLP1 payload")
+    return struct.unpack(">I", payload[4:8])[0]
+
+
 def doc_html(doc_id: int) -> bytes:
     """The synthetic 'raw document bytes' payload stored in pages.html.
 
-    A self-describing JSON container standing in for PDF bytes: the
-    rasterize / detect / clipped-text UDF *stubs* decode it; the real
-    backends (fitz + DocLayout-YOLO) plug in behind the same schemas.
-    Block payload keeps only what a PDF would know (geometry + source
-    text); detection-level fields (class/conf) are carried so the stub
-    detector is deterministic.
+    Layout: 4-byte magic + 4-byte big-endian page count + JSON body. A
+    self-describing container standing in for PDF bytes: the rasterize /
+    detect / clipped-text UDF *stubs* decode it; the real backends (fitz +
+    DocLayout-YOLO) plug in behind the same schemas. Block payload keeps
+    only what a PDF would know (geometry + source text); detection-level
+    fields (class/conf) are carried so the stub detector is deterministic.
     """
+    import struct
     pages = [
         {
             "page_no": pg["page_no"],
@@ -210,7 +225,8 @@ def doc_html(doc_id: int) -> bytes:
         }
         for pg in doc_pages(doc_id)
     ]
-    return json.dumps({"v": 1, "pages": pages}, separators=(",", ":")).encode("utf-8")
+    body = json.dumps({"v": 1, "pages": pages}, separators=(",", ":")).encode("utf-8")
+    return HTML_MAGIC + struct.pack(">I", len(pages)) + body
 
 
 def doc_text(doc_id: int) -> str:

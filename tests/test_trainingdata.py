@@ -1,0 +1,201 @@
+"""Training-data operator tests: dedup strategies, similarity search,
+text analysis, multimodal plumbing — correctness vs numpy/python oracles
+plus recall of the approximate paths against their exact twins."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from paper_layout_parser_spark.operators import dedup as dd
+from paper_layout_parser_spark.operators import multimodal as mm
+from paper_layout_parser_spark.operators import similarity as sim
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").persist()
+
+
+class TestDedup:
+    def test_exact_dedup_counts(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b c"), (3, "x y z")], "doc_id long, text string"
+        )
+        got = {r["keep_id"]: r["n_copies"] for r in dd.exact_dedup(df).collect()}
+        assert got == {1: 2, 3: 1}
+
+    def test_jaccard_pairs_vs_python(self, spark, docs):
+        got = {(r.id_a, r.id_b): r.jaccard
+               for r in dd.jaccard_pairs(docs, threshold=0.2).collect()}
+        rows = docs.select("doc_id", "text").collect()
+        shing = {}
+        for r in rows:
+            w = r["text"].split()
+            shing[r["doc_id"]] = {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+        import math
+        expected = {}
+        ids = sorted(shing)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                sa, sb = shing[a], shing[b]
+                if not sa or not sb:
+                    continue
+                j = len(sa & sb) / len(sa | sb)
+                if j >= 0.2:
+                    expected[(a, b)] = math.floor(j * 1e6 + 0.5) / 1e6
+        assert got == expected
+        assert len(got) > 0  # corpus does contain near-dupes
+
+    def test_minhash_lsh_recall(self, spark, docs):
+        exact = {(r.id_a, r.id_b)
+                 for r in dd.jaccard_pairs(docs, threshold=0.5).collect()}
+        lsh = {(r.id_a, r.id_b)
+               for r in dd.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+        assert lsh <= exact            # precision 1.0 (verified candidates)
+        assert len(lsh) >= 0.9 * len(exact)  # recall at J>=0.5
+
+    def test_simhash_identical_texts_distance_zero(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "the quick brown fox jumps over the lazy dog"),
+             (3, "completely different words entirely unrelated content here")],
+            "doc_id long, text string",
+        )
+        pairs = {(r.id_a, r.id_b): r.hamming
+                 for r in dd.simhash_pairs(df, max_hamming=64).collect()}
+        assert pairs.get((1, 2)) == 0
+        sims = {r.doc_id: r.simhash for r in dd.simhash64(df).collect()}
+        assert sims[1] == sims[2] != sims[3]
+
+    def test_simhash_near_texts_close(self, spark, docs):
+        # near-dup docs (high jaccard) should have small hamming distance
+        exact = dd.jaccard_pairs(docs, threshold=0.8).collect()
+        assert exact
+        pairs = {(r.id_a, r.id_b): r.hamming
+                 for r in dd.simhash_pairs(docs, max_hamming=10).collect()}
+        hit = sum(1 for r in exact if (r.id_a, r.id_b) in pairs)
+        assert hit >= len(exact) * 0.8
+
+
+class TestSimilarity:
+    def test_brute_force_matches_numpy(self, spark, emb):
+        rows = emb.collect()
+        vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+        qids = [v for v in vecs if v % 50 == 0]
+        queries = emb.where(F.col("vec_id") % 50 == 0)
+        got = {}
+        for r in sim.brute_force_topk(emb, queries, k=5).collect():
+            got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+        for q in qids:
+            qv = vecs[q]
+            scored = sorted(
+                ((-(qv @ v) / (np.linalg.norm(qv) * np.linalg.norm(v)), i)
+                 for i, v in vecs.items() if i != q)
+            )
+            expected = [i for _, i in scored[:5]]
+            assert [n for _, n in sorted(got[q])] == expected
+
+    def test_neardup_symmetric_threshold(self, spark, emb):
+        pairs = sim.cosine_neardup_pairs(emb, threshold=0.4).collect()
+        for r in pairs:
+            assert r.id_a < r.id_b
+            assert r.cos >= 0.4
+
+    def test_lsh_topk_subset_semantics(self, spark, emb):
+        queries = emb.where(F.col("vec_id") % 50 == 0)
+        got = sim.lsh_topk(emb, queries, k=5).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r.query_id, []).append(r)
+        for q, rows in by_q.items():
+            ranks = sorted(r.rank for r in rows)
+            assert ranks == list(range(1, len(ranks) + 1))
+
+
+class TestMultimodal:
+    def test_media_meta_sniffing(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytes.fromhex("89504E470D0A1A0A") + b"x" * 10),
+             (2, bytes.fromhex("FFD8FFE0") + b"y" * 5),
+             (3, b"random-bytes")],
+            "doc_id long, media binary",
+        )
+        got = {r.doc_id: r.media_meta for r in mm.attach_media_meta(df).collect()}
+        assert got[1]["media_type"] == "image/png"
+        assert got[2]["media_type"] == "image/jpeg"
+        assert got[3]["media_type"] == "application/octet-stream"
+        assert got[1]["byte_len"] == 18
+
+    def test_decode_image_stub_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [(1, b"imagebytes"), (2, b"imagebytes"), (3, b"other")],
+            "doc_id long, media binary",
+        )
+        got = {r.doc_id: r.features for r in mm.decode_image(df).collect()}
+        assert got[1] == got[2] != got[3]
+        assert len(got[1]) == mm.FEATURE_DIM
+        assert all(0.0 <= v <= 1.0 for v in got[1])
+
+    def test_decode_image_strict_raises(self, spark):
+        df = spark.createDataFrame([(1, b"img")], "doc_id long, media binary")
+        with pytest.raises(Exception, match="NotImplementedError|decode"):
+            mm.decode_image(df, strict=True).collect()
+
+    def test_sample_frames_flatmap_shape(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytes(range(64))), (2, bytes(range(8)))],
+            "doc_id long, media binary",
+        )
+        got = mm.sample_frames(df, n_frames=4).collect()
+        by_doc = {}
+        for r in got:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        assert len(by_doc[1]) == 4 and len(by_doc[2]) == 4
+        frames = sorted((r.frame_no, bytes(r.frame_payload)) for r in by_doc[1])
+        assert frames[0] == (0, bytes(range(16)))
+        assert frames[3] == (3, bytes(range(48, 64)))
+
+
+class TestCatalogResume:
+    def test_checkpoint_lineage_and_resume(self, spark, tmp_path):
+        from paper_layout_parser_spark.sources.catalog import Catalog, run_resumable
+
+        cat = Catalog(spark, str(tmp_path / "wh"))
+        df1 = spark.createDataFrame(
+            [("u1", 1, "a"), ("u1", 2, "b"), ("u2", 1, "c")],
+            "url string, page_no int, text string",
+        )
+        cat.checkpoint_stage(df1, "stage1")
+        committed = cat.read("stage1")
+        assert committed.count() == 3
+        lineage = cat.read("stage1__lineage")
+        cols = set(lineage.columns)
+        assert {"run_id", "partition_id", "urls_in", "pages_in",
+                "bytes_out", "wall_ms"} <= cols
+        agg = lineage.agg(F.sum("urls_in"), F.sum("rows_out")).collect()[0]
+        assert agg[1] == 3
+
+        # resume: only the new url is processed
+        inputs = spark.createDataFrame(
+            [("u1",), ("u2",), ("u3",)], "url string"
+        )
+        calls = []
+
+        def stage(todo):
+            calls.append(todo.count())
+            return todo.withColumn("page_no", F.lit(1)).withColumn("text", F.lit("z"))
+
+        out = run_resumable(cat, inputs, "stage1", stage)
+        assert calls == [1]           # only u3 was pending
+        assert out.select("url").distinct().count() == 3
+        # second run: nothing pending, no new work
+        out2 = run_resumable(cat, inputs, "stage1", stage)
+        assert calls == [1]
+        assert out2.count() == out.count()
