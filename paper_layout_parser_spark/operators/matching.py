@@ -114,29 +114,46 @@ def candidate_pairs(
     )
 
 
+_CAP_PAYLOAD = ("cap_x1", "cap_y1", "cap_x2", "cap_y2")
+
+
 def _greedy_batch(pairs: pd.Series) -> pd.Series:
     """Vectorized greedy: one input row per (url, page_no, item_type) group
     holding ALL candidate pairs of that group (from collect_list), so the
     per-group Python overhead is a single list pass, not a pandas DataFrame
-    construction. Groups are O(10) pairs."""
+    construction. Groups are O(10) pairs. The chosen caption's payload rides
+    through the UDF so no join-back against the captions side is needed."""
     out = []
     for group in pairs:
         # item-major enumeration order on ties = (item_idx, cap_idx); the
         # collect_list order is nondeterministic, so impose it first
-        triples = sorted(
-            ((int(p["item_idx"]), int(p["cap_idx"]), float(p["distance"]))
-             for p in group),
-            key=lambda t: (t[0], t[1]),
-        )
+        entries = sorted(group, key=lambda p: (int(p["item_idx"]), int(p["cap_idx"])))
+        triples = [
+            (int(p["item_idx"]), int(p["cap_idx"]), float(p["distance"]))
+            for p in entries
+        ]
         assigned = greedy_assign(triples)
-        out.append([{"item_idx": i, "cap_idx": c} for i, c in assigned.items()])
+        by_cap = {int(p["cap_idx"]): p for p in entries}
+        out.append([
+            {
+                "item_idx": i,
+                "cap_idx": c,
+                **{k: by_cap[c][k] for k in _CAP_PAYLOAD},
+                "cap_text": by_cap[c].get("cap_text"),
+            }
+            for i, c in assigned.items()
+        ])
     return pd.Series(out)
 
 
 def _greedy_udf():
     # created lazily: pandas_udf resolves its return type against the
     # active SparkSession, so the decorator cannot run at import time
-    return F.pandas_udf(_greedy_batch, "array<struct<item_idx: int, cap_idx: int>>")
+    return F.pandas_udf(
+        _greedy_batch,
+        "array<struct<item_idx: int, cap_idx: int, cap_x1: double, "
+        "cap_y1: double, cap_x2: double, cap_y2: double, cap_text: string>>",
+    )
 
 
 def match_captions(
@@ -152,31 +169,33 @@ def match_captions(
     url, item_type, item_id, page_number, item_x1..y2,
     cap_x1..y2 (nullable), caption_text (nullable when det carries text).
     """
-    items, caps = _split_items_captions(det)
+    items, _ = _split_items_captions(det)
     pairs = candidate_pairs(
         det, figure_direction, table_direction,
         max_vertical_distance, min_horizontal_overlap,
-    ).select("url", "page_no", "item_type", "item_idx", "cap_idx", "distance")
+    )
+    cand_fields = ["item_idx", "cap_idx", "distance", *_CAP_PAYLOAD]
+    if "cap_text" in pairs.columns:
+        cand_fields.append("cap_text")
 
     assignment = (
         pairs.groupBy("url", "page_no", "item_type")
-        .agg(
-            F.collect_list(
-                F.struct("item_idx", "cap_idx", "distance")
-            ).alias("cand")
-        )
+        .agg(F.collect_list(F.struct(*cand_fields)).alias("cand"))
         .select(
             "url", "page_no", "item_type",
             F.explode(_greedy_udf()(F.col("cand"))).alias("a"),
         )
         .select("url", "page_no", "item_type",
                 F.col("a.item_idx").alias("item_idx"),
-                F.col("a.cap_idx").alias("cap_idx"))
+                F.col("a.cap_x1").alias("cap_x1"),
+                F.col("a.cap_y1").alias("cap_y1"),
+                F.col("a.cap_x2").alias("cap_x2"),
+                F.col("a.cap_y2").alias("cap_y2"),
+                F.col("a.cap_text").alias("cap_text"))
     )
 
-    matched = (
-        items.join(assignment, ["url", "page_no", "item_type", "item_idx"], "left")
-        .join(caps, ["url", "page_no", "item_type", "cap_idx"], "left")
+    matched = items.join(
+        assignment, ["url", "page_no", "item_type", "item_idx"], "left"
     )
 
     # per-document cumulative counter in (page, detection order) —

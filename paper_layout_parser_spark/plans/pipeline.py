@@ -46,9 +46,13 @@ def run_pipeline(
     backend_factory=StubDetectorBackend,
     chunk_pages: int = 16,
     num_partitions: int | None = None,
-    persist_enriched: bool = False,
+    persist_enriched: bool = True,
     fused: bool = True,
 ) -> PipelineOutputs:
+    # persist_enriched: matched / doc_text / stats all branch from
+    # `enriched`; without it each branch re-executes the UDF chain from the
+    # scan. On a cluster, replace the persist with a
+    # catalog.checkpoint_stage (same cut point, durable + resumable).
     planned = plan_splits(pages, chunk_pages=chunk_pages, num_partitions=num_partitions)
     rasterized = rasterize_pages(planned)
     if fused:
