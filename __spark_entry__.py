@@ -143,6 +143,90 @@ def q_eval_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # training-data-pipeline queries (documents / embeddings driver tables)
 # ---------------------------------------------------------------------------
 
+def q_error_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, out = _pipeline(spark, sf_dir)
+    gt = build_ground_truth(out.matched)
+    from paper_layout_parser_spark.operators.evaluate import error_analysis
+
+    return error_analysis(compare_matches(gt, out.matched))
+
+
+def q_batch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, out = _pipeline(spark, sf_dir)
+    gt = build_ground_truth(out.matched)
+    from paper_layout_parser_spark.operators.evaluate import batch_rollup
+
+    per_doc = evaluation_summary(compare_matches(gt, out.matched), per_url=True)
+    return batch_rollup(per_doc)
+
+
+def q_label_studio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paper_layout_parser_spark.operators.export import to_percent_coords
+
+    _, out = _pipeline(spark, sf_dir)
+    pct = to_percent_coords(out.matched, sd.PAGE_W, sd.PAGE_H)
+    return pct.select(
+        "url", "item_id", "item_type",
+        F.col("page_number").cast("long").alias("page_number"),
+        "x_pct", "y_pct", "w_pct", "h_pct",
+        F.col("caption_region.x_pct").alias("cap_x_pct"),
+        F.col("caption_region.y_pct").alias("cap_y_pct"),
+        F.col("caption_region.w_pct").alias("cap_w_pct"),
+        F.col("caption_region.h_pct").alias("cap_h_pct"),
+    )
+
+
+_NOISY_JSON = (
+    "```json\n{\"doc\": %d, \"tag\": \"%s\", \"xs\": [1, 2,],}\n``` trailing prose"
+)
+
+
+def q_json_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-JSON repair chain (P11): noisy fenced JSON with trailing commas
+    -> repaired -> field extraction. The noisy input is derived from the
+    documents table identically in both engines."""
+    from paper_layout_parser_spark.functions.json_repair import repair_json
+
+    d = _docs(spark, sf_dir)
+    raw = F.format_string(_NOISY_JSON, F.col("doc_id"), F.col("lang"))
+    repaired = repair_json(raw)
+    return d.select(
+        "doc_id",
+        F.get_json_object(repaired, "$.doc").cast("long").alias("parsed_doc"),
+        F.get_json_object(repaired, "$.tag").alias("parsed_tag"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paper_layout_parser_spark.streaming.ingest import sessionize_batch
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # sum_value is dropped from the oracle-checked projection: double
+    # summation order is engine-dependent (non-associative); the count and
+    # session bounds are exact
+    return sessionize_batch(events, gap_minutes=30).select(
+        "user_id", "session_id", "session_start", "session_end", "n_events",
+    )
+
+
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paper_layout_parser_spark.streaming.ingest import windowed_event_counts
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_event_counts(events, window="5 minutes").select(
+        "window_start", "window_end", "event_type", "n_events",
+    )
+
+
+def q_doc_result_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only (JSON string formatting is engine-specific); round-trip
+    # parity is asserted in pytest via from_json
+    from paper_layout_parser_spark.operators.stats import result_json
+
+    _, out = _pipeline(spark, sf_dir)
+    return result_json(out.enriched)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(_docs_with_dupes(spark, sf_dir))
 
@@ -244,6 +328,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_text": q_doc_text,
         "eval_summary": q_eval_summary,
         "eval_per_type": q_eval_per_type,
+        "error_analysis": q_error_analysis,
+        "batch_rollup": q_batch_rollup,
+        "label_studio": q_label_studio,
+        "json_repair": q_json_repair,
+        "sessionize": q_sessionize,
+        "event_windows": q_event_windows,
+        "doc_result_json": q_doc_result_json,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -359,10 +450,99 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {cos} >= {threshold}"""
 
 
+def _pct_sql(expr: str, total: float) -> str:
+    return sd.sql_round_half_up(f"({expr}) / {total} * 100.0", 2)
+
+
+def _label_studio_sql() -> str:
+    W, H = float(sd.PAGE_W), float(sd.PAGE_H)
+    return f"""WITH {sd.matched_items_cte('documents')}
+SELECT url, item_id, item_type, p AS page_number,
+       {_pct_sql('item_x1', W)} AS x_pct,
+       {_pct_sql('item_y1', H)} AS y_pct,
+       {_pct_sql('item_x2 - item_x1', W)} AS w_pct,
+       {_pct_sql('item_y2 - item_y1', H)} AS h_pct,
+       {_pct_sql('cap_x1', W)} AS cap_x_pct,
+       {_pct_sql('cap_y1', H)} AS cap_y_pct,
+       {_pct_sql('cap_x2 - cap_x1', W)} AS cap_w_pct,
+       {_pct_sql('cap_y2 - cap_y1', H)} AS cap_h_pct
+FROM matched"""
+
+
+def _json_repair_sql() -> str:
+    from paper_layout_parser_spark.functions.json_repair import repair_json_sql
+
+    noisy = _NOISY_JSON.replace("%s", "%s").replace("'", "''")
+    return f"""
+WITH d AS (
+  SELECT doc_id, printf('{noisy}', doc_id, lang) AS raw FROM documents
+),
+r AS (SELECT doc_id, {repair_json_sql('raw')} AS rep FROM d)
+SELECT doc_id,
+       CAST(json_extract(rep, '$.doc') AS BIGINT) AS parsed_doc,
+       json_extract_string(rep, '$.tag') AS parsed_tag
+FROM r"""
+
+
+_SESSIONIZE_SQL = """
+WITH l AS (
+  SELECT user_id, ts, value,
+         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+  FROM events
+),
+f AS (SELECT *, CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_session FROM l),
+s AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM f)
+SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, session_id"""
+
+_EVENT_WINDOWS_SQL = """
+SELECT make_timestamp(CAST(floor(epoch(ts) / 300) * 300 * 1000000 AS BIGINT)) AS window_start,
+       make_timestamp(CAST((floor(epoch(ts) / 300) + 1) * 300 * 1000000 AS BIGINT)) AS window_end,
+       event_type, count(*) AS n_events
+FROM events GROUP BY 1, 2, 3"""
+
+
 def oracle_sql() -> dict[str, str]:
     det = sd.detections_cte("documents")
     matched = sd.matched_items_cte("documents")
+    cmp_cte = sd._comparisons_cte("documents")
     return {
+        "error_analysis": f"""WITH {cmp_cte}
+SELECT error_type, count(*) AS n_errors FROM cmp WHERE NOT is_correct
+GROUP BY error_type""",
+        "batch_rollup": f"""WITH {cmp_cte},
+per_doc AS (
+  SELECT url,
+         count(*) FILTER (is_correct AND gt_has_caption) AS tp,
+         count(*) FILTER (is_correct AND NOT gt_has_caption) AS correct_no_caption,
+         count(*) FILTER (error_type IN ('false_positive', 'wrong_match')) AS fp,
+         count(*) FILTER (error_type IN ('false_negative', 'wrong_match')) AS fn,
+         count(*) AS total
+  FROM cmp GROUP BY url
+),
+tot AS (
+  SELECT count(*) AS total_documents,
+         CAST(sum(tp) AS BIGINT) AS tp, CAST(sum(fp) AS BIGINT) AS fp,
+         CAST(sum(fn) AS BIGINT) AS fn,
+         CAST(sum(correct_no_caption) AS BIGINT) AS correct_no_caption,
+         CAST(sum(total) AS BIGINT) AS total_comparisons
+  FROM per_doc
+),
+m AS (SELECT *,
+        CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END AS p_raw,
+        CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END AS r_raw
+      FROM tot)
+SELECT total_documents, tp, fp, fn, correct_no_caption, total_comparisons,
+       {sd.sql_round_half_up('p_raw', 4)} AS precision,
+       {sd.sql_round_half_up('r_raw', 4)} AS recall,
+       {sd.sql_round_half_up('CASE WHEN p_raw + r_raw > 0 THEN 2 * p_raw * r_raw / (p_raw + r_raw) ELSE 0.0 END', 4)} AS f1
+FROM m""",
+        "label_studio": _label_studio_sql(),
+        "json_repair": _json_repair_sql(),
+        "sessionize": _SESSIONIZE_SQL,
+        "event_windows": _EVENT_WINDOWS_SQL,
         "page_stats": f"""WITH {det}
 SELECT url, p AS page_no, count(*) AS num_detections
 FROM det GROUP BY url, p""",

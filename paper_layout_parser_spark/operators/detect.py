@@ -137,7 +137,8 @@ def detect_enrich_layout(pages: DataFrame,
     """
     from ..algorithms import clip_text, xy_cut_order
 
-    schema = RAW_DETECTION_SCHEMA + ", reading_order_rank int, text string"
+    schema = (RAW_DETECTION_SCHEMA
+              + ", reading_order_rank int, text string, error string")
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         backend = backend_factory()
@@ -146,20 +147,49 @@ def detect_enrich_layout(pages: DataFrame,
                 "url": [], "page_no": [], "width": [], "height": [],
                 "det_idx": [], "class_id": [], "raw_name": [],
                 "confidence": [], "x1": [], "y1": [], "x2": [], "y2": [],
-                "reading_order_rank": [], "text": [],
+                "reading_order_rank": [], "text": [], "error": [],
             }
+
+            def emit_error(url, page_no, w, h, exc):
+                # C6 error containment (main.py:336-354): a bad page becomes
+                # a quarantine row, never a failed job
+                cols["url"].append(url)
+                cols["page_no"].append(page_no)
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["det_idx"].append(-1)
+                cols["class_id"].append(-1)
+                cols["raw_name"].append(None)
+                cols["confidence"].append(None)
+                for c in ("x1", "y1", "x2", "y2"):
+                    cols[c].append(None)
+                cols["reading_order_rank"].append(-1)
+                cols["text"].append(None)
+                cols["error"].append(f"{type(exc).__name__}: {exc}")
+
             payloads = list(pdf["page_payload"])
-            results = backend.detect_batch(payloads)
-            for url, page_no, w, h, payload, dets in zip(
-                pdf["url"], pdf["page_no"], pdf["width"], pdf["height"],
-                payloads, results,
-            ):
-                blocks = json.loads(bytes(payload))["blocks"]
-                boxes = [tuple(d["bbox"]) for d in dets]
-                order = xy_cut_order(boxes)
-                ranks = [0] * len(order)
-                for rank, pos in enumerate(order):
-                    ranks[pos] = rank
+            try:
+                # batched inference is the hot path; fall back to per-page
+                # only when the whole batch fails (isolates the bad page)
+                results = backend.detect_batch(payloads)
+            except Exception:  # noqa: BLE001
+                results = None
+            for idx, (url, page_no, w, h, payload) in enumerate(zip(
+                pdf["url"], pdf["page_no"], pdf["width"], pdf["height"], payloads
+            )):
+                try:
+                    dets = (results[idx] if results is not None
+                            else backend.detect_batch([payload])[0])
+                    blocks = json.loads(bytes(payload))["blocks"]
+                    boxes = [tuple(d["bbox"]) for d in dets]
+                    order = xy_cut_order(boxes)
+                    ranks = [0] * len(order)
+                    for rank, pos in enumerate(order):
+                        ranks[pos] = rank
+                    texts = [clip_text(blocks, *d["bbox"]) for d in dets]
+                except Exception as exc:  # noqa: BLE001 — quarantine semantics
+                    emit_error(url, page_no, w, h, exc)
+                    continue
                 for i, d in enumerate(dets):
                     cols["url"].append(url)
                     cols["page_no"].append(page_no)
@@ -175,7 +205,8 @@ def detect_enrich_layout(pages: DataFrame,
                     cols["x2"].append(x2)
                     cols["y2"].append(y2)
                     cols["reading_order_rank"].append(ranks[i])
-                    cols["text"].append(clip_text(blocks, x1, y1, x2, y2))
+                    cols["text"].append(texts[i])
+                    cols["error"].append(None)
             yield pd.DataFrame(cols)
 
     return pages.mapInPandas(run, schema=schema)
@@ -188,7 +219,7 @@ def normalize_detections(raw: DataFrame) -> DataFrame:
     to 4 dp and bbox to 2 dp (layout_detector.py:46-58). Pure column exprs —
     whole-stage codegen, no Python. Passes through enrichment columns
     (reading_order_rank, text) when the fused detect path produced them."""
-    extra = [c for c in ("reading_order_rank", "text") if c in raw.columns]
+    extra = [c for c in ("reading_order_rank", "text", "error") if c in raw.columns]
     return raw.select(
         "url",
         "page_no",

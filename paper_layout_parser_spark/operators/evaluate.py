@@ -126,10 +126,13 @@ def _with_metrics(counts: DataFrame) -> DataFrame:
     )
 
 
-def evaluation_summary(comparisons: DataFrame) -> DataFrame:
-    """Overall tallies + metrics — one row (A8 + A9). TP requires a non-null
-    GT caption bbox (evaluator.py:306-307); wrong_match double-counts."""
-    counts = comparisons.agg(
+def evaluation_summary(comparisons: DataFrame, per_url: bool = False) -> DataFrame:
+    """Overall tallies + metrics — one row (A8 + A9), or one row per url
+    (the per-document summaries that feed batch_rollup). TP requires a
+    non-null GT caption bbox (evaluator.py:306-307); wrong_match
+    double-counts."""
+    grouped = comparisons.groupBy("url") if per_url else comparisons
+    counts = grouped.agg(
         F.count(F.when(F.col("is_correct") & F.col("gt_has_caption"), 1)).alias("tp"),
         F.count(F.when(F.col("is_correct") & ~F.col("gt_has_caption"), 1))
         .alias("correct_no_caption"),
@@ -166,4 +169,53 @@ def error_analysis(comparisons: DataFrame) -> DataFrame:
         comparisons.where(~F.col("is_correct"))
         .groupBy("error_type")
         .agg(F.count("*").alias("n_errors"))
+    )
+
+
+def errors_by_page(comparisons: DataFrame) -> DataFrame:
+    """A12 second half (evaluator.py:377-387): per (url, page) list of error
+    records — collect_list folded only at the report edge."""
+    return (
+        comparisons.where(~F.col("is_correct"))
+        .groupBy("url", "page_number")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("figure_id", "error_type"))
+            ).alias("errors")
+        )
+    )
+
+
+def batch_rollup(per_doc_summaries: DataFrame) -> DataFrame:
+    """A11 (overall): cross-document benchmark rollup (batch.py:134-213) —
+    tp/fp/fn summed exactly over per-document evaluation summaries (input:
+    evaluation_summary rows, one per document), metrics recomputed."""
+    overall = per_doc_summaries.agg(
+        F.count("*").alias("total_documents"),
+        F.sum("tp").alias("tp"),
+        F.sum("fp").alias("fp"),
+        F.sum("fn").alias("fn"),
+        F.sum("correct_no_caption").alias("correct_no_caption"),
+        F.sum("total").alias("total_comparisons"),
+    )
+    return _with_metrics(overall)
+
+
+def batch_per_type_rollup(per_doc_type_metrics: DataFrame) -> DataFrame:
+    """A11 (per-type): replicates the reference's *documented lossy
+    approximation* ``int(total * accuracy)`` (batch.py:169-180) — the
+    reference reconstructs per-type correct-counts from each document's
+    rounded accuracy instead of carrying exact counts; we reproduce the
+    floor for parity."""
+    return per_doc_type_metrics.groupBy("figure_type").agg(
+        F.sum("total").alias("total"),
+        F.sum(F.floor(F.col("total") * F.col("accuracy")).cast("long"))
+        .alias("approx_correct"),
+    ).withColumn(
+        "approx_accuracy",
+        round_half_up(
+            F.when(F.col("total") > 0,
+                   F.col("approx_correct") / F.col("total")).otherwise(F.lit(0.0)),
+            4,
+        ),
     )

@@ -31,7 +31,7 @@ DEFAULT_CHUNK_PAGES = 16
 
 PAGE_SCHEMA = (
     "url string, page_no int, width int, height int, page_payload binary, "
-    "render_checksum long"
+    "render_checksum long, error string"
 )
 
 
@@ -119,25 +119,40 @@ def _render_page(pg: dict) -> int:
 
 def _rasterize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
-        urls, page_nos, widths, heights, payloads, checksums = [], [], [], [], [], []
+        cols: dict[str, list] = {
+            "url": [], "page_no": [], "width": [], "height": [],
+            "page_payload": [], "render_checksum": [], "error": [],
+        }
+
+        def emit(url, page_no, w, h, payload, cks, err):
+            cols["url"].append(url)
+            cols["page_no"].append(page_no)
+            cols["width"].append(w)
+            cols["height"].append(h)
+            cols["page_payload"].append(payload)
+            cols["render_checksum"].append(cks)
+            cols["error"].append(err)
+
         for url, payload, start, end in zip(
             pdf["url"], pdf["html"], pdf["page_start"], pdf["page_end"]
         ):
-            doc = json.loads(bytes(payload)[8:])  # skip the PLP1 header
+            try:
+                doc = json.loads(bytes(payload)[8:])  # skip the PLP1 header
+            except Exception as exc:  # noqa: BLE001 — C6 quarantine semantics
+                emit(url, int(start), 0, 0, None, -1,
+                     f"{type(exc).__name__}: {exc}")
+                continue
             for pg in doc["pages"]:
                 if not (start <= pg["page_no"] < end):
                     continue
-                urls.append(url)
-                page_nos.append(pg["page_no"])
-                widths.append(pg["width"])
-                heights.append(pg["height"])
-                payloads.append(json.dumps(pg, separators=(",", ":")).encode())
-                checksums.append(_render_page(pg))
-        yield pd.DataFrame({
-            "url": urls, "page_no": page_nos, "width": widths,
-            "height": heights, "page_payload": payloads,
-            "render_checksum": checksums,
-        })
+                try:
+                    emit(url, pg["page_no"], pg["width"], pg["height"],
+                         json.dumps(pg, separators=(",", ":")).encode(),
+                         _render_page(pg), None)
+                except Exception as exc:  # noqa: BLE001
+                    emit(url, pg.get("page_no", int(start)), 0, 0, None, -1,
+                         f"{type(exc).__name__}: {exc}")
+        yield pd.DataFrame(cols)
 
 
 def rasterize_pages(planned: DataFrame) -> DataFrame:

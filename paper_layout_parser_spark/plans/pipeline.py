@@ -39,6 +39,7 @@ class PipelineOutputs:
     matched: DataFrame        # extracted items with captions
     doc_text: DataFrame       # url, doc_text (byte-identity surface)
     doc_stats: DataFrame      # per-url totals
+    quarantine: DataFrame | None = None  # failed pages (url, page_no, error)
 
 
 def run_pipeline(
@@ -54,16 +55,26 @@ def run_pipeline(
     # scan. On a cluster, replace the persist with a
     # catalog.checkpoint_stage (same cut point, durable + resumable).
     planned = plan_splits(pages, chunk_pages=chunk_pages, num_partitions=num_partitions)
-    rasterized = rasterize_pages(planned)
+    ras_all = rasterize_pages(planned)
+    # C6 error containment: failed pages become quarantine rows at every
+    # stage, never failed jobs (main.py:336-354 per-doc try/except analogue)
+    ras_quarantine = ras_all.where(F.col("error").isNotNull()).select(
+        "url", "page_no", F.lit("rasterize").alias("stage"), "error"
+    )
+    rasterized = ras_all.where(F.col("error").isNull()).drop("error")
     if fused:
         # default hot path: inference + clipped text + XY-cut in one stage
-        enriched = normalize_detections(
-            detect_enrich_layout(rasterized, backend_factory)
+        raw = normalize_detections(detect_enrich_layout(rasterized, backend_factory))
+        det_quarantine = raw.where(F.col("error").isNotNull()).select(
+            "url", "page_no", F.lit("detect").alias("stage"), "error"
         )
+        quarantine = ras_quarantine.unionByName(det_quarantine)
+        enriched = raw.where(F.col("error").isNull()).drop("error")
         det = enriched.drop("reading_order_rank", "text")
     else:
         det = normalize_detections(detect_layout(rasterized, backend_factory))
         enriched = enrich_detections(det, rasterized)
+        quarantine = ras_quarantine
     if persist_enriched:
         enriched = enriched.persist()
     matched = match_captions(enriched)
@@ -81,4 +92,5 @@ def run_pipeline(
         matched=matched,
         doc_text=doc_text,
         doc_stats=stats,
+        quarantine=quarantine,
     )

@@ -1,0 +1,133 @@
+"""Structured-Streaming ingest for continuously arriving pages.
+
+The reference has NO streaming (SURVEY §2.8) — its incremental story is
+skip-existing file checks. At web scale, new WARC dumps arrive continuously,
+so the rebuild offers a micro-batch wrapper: a file-source stream over the
+pages table directory, each micro-batch pushed through the SAME batch
+pipeline via foreachBatch, committed through the Catalog (exactly-once per
+input key thanks to the left-anti resume primitive + the streaming
+checkpoint). ``trigger(availableNow=True)`` drains the backlog and stops —
+the pattern for both tests and scheduled incremental runs.
+
+Also includes event-stream operators over the driver's ``events`` table
+shape: watermarked tumbling-window aggregation and gap-based
+sessionization (session_window) — the standard late-data-tolerant ops a
+training-data telemetry pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..corpus import PAGES_SCHEMA
+from ..sources.catalog import Catalog
+
+
+def stream_pages(spark: SparkSession, pages_dir: str) -> DataFrame:
+    """File-source stream over a growing directory of pages parquet."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(pages_dir)
+    )
+
+
+def run_incremental_extraction(
+    spark: SparkSession,
+    pages_dir: str,
+    catalog: Catalog,
+    checkpoint_dir: str,
+    table: str = "doc_text",
+    pipeline_kwargs: dict | None = None,
+):
+    """Drain all available input files through the batch pipeline, one
+    micro-batch at a time, checkpointing results + lineage per batch.
+    Returns after the backlog is consumed (availableNow)."""
+    from ..plans.pipeline import run_pipeline
+
+    kwargs = pipeline_kwargs or {}
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # left-anti against committed keys makes re-delivered files no-ops
+        todo = catalog.pending_inputs(batch_df, table, key="url")
+        if todo.limit(1).count() == 0:
+            return
+        out = run_pipeline(todo, **kwargs)
+        catalog.checkpoint_stage(out.doc_text, table, url_col="url",
+                                 page_col=None)
+        out.enriched.unpersist()
+
+    q = (
+        stream_pages(spark, pages_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def windowed_event_counts(events: DataFrame, window: str = "5 minutes",
+                          watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window counts per event_type — works on both a
+    streaming and a batch events DataFrame (same plan)."""
+    # watermarks require TIMESTAMP (LTZ); NTZ parquet values are reinterpreted
+    # in the session tz, which is pinned to UTC
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based sessions per user via session_window (streaming-native;
+    the batch twin is the lag+cumsum window pattern)."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", gap)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id", "n_events", "sum_value",
+        )
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization twin (lag + cumulative gap counter) — returns
+    the same (user_id, session bounds, counts) for static data; its SQL
+    oracle is expressible in any engine with window functions."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # NTZ timestamps can't cast straight to long; go via LTZ (session tz is
+    # pinned to UTC, so this equals DuckDB's epoch() on the naive value)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    with_flag = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+    )
+    with_id = with_flag.withColumn(
+        "session_id", F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return with_id.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
