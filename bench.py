@@ -113,6 +113,10 @@ def run_trainingdata(spark, sf_dir: str) -> dict:
 
 def default_mode() -> None:
     spark = _fresh_spark(CPUS)
+    # warm-up at the smallest SF so JVM/JIT + python-worker spawn don't
+    # dominate the measured run
+    warm = materialize_pages(spark, "/root/testdata/sf0.001")
+    run_extraction(spark, warm)
     pages_path = materialize_pages(spark, SF_DIR)
     ext = run_extraction(spark, pages_path)
     td = run_trainingdata(spark, SF_DIR)
