@@ -1,0 +1,121 @@
+"""VLM annotation stage tests + hypothesis property tests for the matcher
+and XY-cut invariants."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from paper_layout_parser_spark import synthdata as sd
+from paper_layout_parser_spark.algorithms import greedy_assign, xy_cut_order
+from paper_layout_parser_spark.corpus import build_pages
+from paper_layout_parser_spark.operators.annotate import (
+    StubVLMClient,
+    annotate_and_parse,
+    annotate_pages,
+)
+from paper_layout_parser_spark.operators.rasterize import rasterize
+
+from . import oracle
+from .conftest import SF_SMALL
+
+
+class TestAnnotateStage:
+    @pytest.fixture(scope="class")
+    def pages(self, spark):
+        return rasterize(
+            build_pages(spark, SF_SMALL).where(
+                F.regexp_extract("url", r"([0-9]+)$", 1).cast("long").isin(1, 2, 3)
+            )
+        ).where("error is null").drop("error").persist()
+
+    def test_roundtrip_matches_spec(self, pages):
+        gt = annotate_and_parse(pages)
+        rows = gt.collect()
+        expected = 0
+        for d in (1, 2, 3):
+            for p in range(1, sd.n_pages(d) + 1):
+                expected += sum(
+                    1 for b in sd.page_blocks(d, p)
+                    if b["class_name"] in ("Figure", "Table")
+                )
+        assert len(rows) == expected
+        r = next(r for r in rows if r["figure_type"] == "figure")
+        assert (r["gt_x1"], r["gt_y1"], r["gt_x2"], r["gt_y2"]) == (100, 200, 300, 400)
+        assert r["confidence"] == 0.9
+        assert r["gcap_x1"] is None
+
+    def test_retry_survives_transient_failures(self, pages):
+        # every 3rd call fails once; retries recover all pages
+        gt_flaky = annotate_and_parse(
+            pages, client_factory=lambda: StubVLMClient(fail_every=3)
+        )
+        gt_clean = annotate_and_parse(pages)
+        assert gt_flaky.count() == gt_clean.count()
+
+    def test_rate_bound_limits_partitions(self, pages):
+        bounded = annotate_pages(pages, max_concurrency=2)
+        assert bounded.rdd.getNumPartitions() <= 2
+
+
+BOX = st.tuples(
+    st.floats(0, 800), st.floats(0, 1200),
+    st.floats(20, 300), st.floats(20, 300),
+).map(lambda t: {"x1": t[0], "y1": t[1], "x2": t[0] + t[2], "y2": t[1] + t[3]})
+
+
+class TestMatcherProperties:
+    @settings(max_examples=200, deadline=None)
+    @given(items=st.lists(BOX, max_size=5), caps=st.lists(BOX, max_size=5),
+           direction=st.sampled_from(["below", "above", "both"]))
+    def test_invariants(self, items, caps, direction):
+        result = oracle.match_items_to_captions(items, caps, direction)
+        # every item appears exactly once, in input order
+        assert [id(i) for i, _ in result] == [id(i) for i in items]
+        used = [id(c) for _, c in result if c is not None]
+        # each caption matched at most once
+        assert len(used) == len(set(used))
+        for item, cap in result:
+            if cap is None:
+                continue
+            ok, dist = oracle.is_valid_match(item, cap, direction)
+            assert ok and dist <= 100.0
+
+    @settings(max_examples=200, deadline=None)
+    @given(items=st.lists(BOX, max_size=4), caps=st.lists(BOX, max_size=4),
+           direction=st.sampled_from(["below", "above", "both"]))
+    def test_greedy_assign_equals_reference(self, items, caps, direction):
+        expected = oracle.match_items_to_captions(items, caps, direction)
+        pairs = []
+        for i, item in enumerate(items):
+            for j, cap in enumerate(caps):
+                ok, dist = oracle.is_valid_match(item, cap, direction)
+                if ok:
+                    pairs.append((i, j, dist))
+        got = greedy_assign(pairs)
+        for i, (item, cap) in enumerate(expected):
+            if cap is None:
+                assert i not in got
+            else:
+                assert caps[got[i]] is cap
+
+
+class TestXYCutProperties:
+    @settings(max_examples=200, deadline=None)
+    @given(boxes=st.lists(BOX, max_size=8))
+    def test_is_permutation(self, boxes):
+        tup = [(b["x1"], b["y1"], b["x2"], b["y2"]) for b in boxes]
+        order = xy_cut_order(tup)
+        assert sorted(order) == list(range(len(tup)))
+
+    @settings(max_examples=100, deadline=None)
+    @given(boxes=st.lists(BOX, min_size=2, max_size=6))
+    def test_vertically_separated_is_y_sorted(self, boxes):
+        # stack boxes with guaranteed positive gaps -> order must be by y
+        stacked = []
+        y = 0.0
+        for i, b in enumerate(boxes):
+            h = b["y2"] - b["y1"]
+            stacked.append((b["x1"], y, b["x2"], y + h))
+            y += h + 5.0
+        assert xy_cut_order(stacked) == list(range(len(stacked)))

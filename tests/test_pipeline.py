@@ -148,3 +148,15 @@ def test_rasterize_page_counts(corpus):
     for r in got:
         doc_id = int(r["url"].rsplit("/", 1)[1])
         assert r["count"] == sd.n_pages(doc_id)
+
+
+def test_fused_and_unfused_paths_identical(spark):
+    pages = build_pages(spark, SF_SMALL).where(
+        F.regexp_extract("url", r"([0-9]+)$", 1).cast("long") < 15
+    ).persist()
+    cols = ["url", "page_no", "det_idx", "class_name", "confidence",
+            "x1", "y1", "x2", "y2", "reading_order_rank", "text"]
+    a = run_pipeline(pages, fused=True).enriched.select(cols)
+    b = run_pipeline(pages, fused=False).enriched.select(cols)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
