@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 
 from paper_layout_parser_spark import synthdata as sd
 from paper_layout_parser_spark.corpus import build_ground_truth, build_pages
-from paper_layout_parser_spark.functions.geometry import round_half_up
 from paper_layout_parser_spark.functions import text as tfn
 from paper_layout_parser_spark.operators import dedup as dd
 from paper_layout_parser_spark.operators import similarity as sim
@@ -33,7 +32,7 @@ from paper_layout_parser_spark.operators.stats import (
     page_detection_counts,
     summary_report,
 )
-from paper_layout_parser_spark.plans.pipeline import PipelineOutputs, run_pipeline
+from paper_layout_parser_spark.plans.pipeline import run_pipeline
 
 # ---------------------------------------------------------------------------
 # pipeline cache: queries() callables share one pipeline run per sf_dir
@@ -218,6 +217,19 @@ def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4-style semi-structured ingestion: parse the events.props JSON
+    column with an explicit schema and aggregate on the extracted field."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.from_json(F.col("props"), "struct<k: long>").getField("k")
+    return events.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
 def q_doc_result_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only (JSON string formatting is engine-specific); round-trip
     # parity is asserted in pytest via from_json
@@ -334,6 +346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_repair": q_json_repair,
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
+        "props_parse": q_props_parse,
         "doc_result_json": q_doc_result_json,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -543,6 +556,12 @@ FROM m""",
         "json_repair": _json_repair_sql(),
         "sessionize": _SESSIONIZE_SQL,
         "event_windows": _EVENT_WINDOWS_SQL,
+        "props_parse": """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type""",
         "page_stats": f"""WITH {det}
 SELECT url, p AS page_no, count(*) AS num_detections
 FROM det GROUP BY url, p""",
