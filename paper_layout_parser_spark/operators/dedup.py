@@ -48,13 +48,20 @@ def _shingle_table(docs: DataFrame, id_col: str, text_col: str,
 
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.3,
                   id_col: str = "doc_id", text_col: str = "text",
-                  k: int = DEFAULT_SHINGLE_K) -> DataFrame:
+                  k: int = DEFAULT_SHINGLE_K, reuse_shingles: bool = True) -> DataFrame:
     """Exact pairwise n-gram Jaccard >= threshold (a < b).
 
     Jaccard is computed from integer intersection/union counts, so the
     double division is bit-identical across engines.
+
+    The shingle table is referenced three times (counts + both join sides);
+    ``reuse_shingles`` materializes it once via localCheckpoint (~2x
+    end-to-end) — on a cluster where executor loss must be survivable,
+    checkpoint to the catalog instead and pass reuse_shingles=False.
     """
     sh = _shingle_table(docs, id_col, text_col, k)
+    if reuse_shingles:
+        sh = sh.localCheckpoint(eager=False)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

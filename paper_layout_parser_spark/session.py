@@ -48,6 +48,8 @@ def get_spark(
         # (pages carry binary payloads; keep batches modest).
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/plp_spark_warehouse"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

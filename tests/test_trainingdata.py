@@ -199,3 +199,51 @@ class TestCatalogResume:
         out2 = run_resumable(cat, inputs, "stage1", stage)
         assert calls == [1]
         assert out2.count() == out.count()
+
+
+class TestVisualization:
+    def test_draw_spec_colors_and_labels(self, spark):
+        from paper_layout_parser_spark.operators.visualization import draw_spec
+
+        det = spark.createDataFrame(
+            [("u", 1, 0, "Figure", 0.95, 100., 200., 300., 400.),
+             ("u", 1, 1, "Figure-Caption", 0.9, 100., 420., 300., 460.),
+             ("u", 1, 2, "Unknown-Class", 0.5, 0., 0., 10., 10.)],
+            "url string, page_no int, det_idx int, class_name string, "
+            "confidence double, x1 double, y1 double, x2 double, y2 double",
+        )
+        got = {r.det_idx: r for r in draw_spec(det).collect()}
+        assert got[0]["label"] == "Figure 0.95"
+        assert got[0]["color_bgr"] == (0 << 16) | (255 << 8) | 0      # green
+        assert got[2]["color_bgr"] == (0 << 16) | (255 << 8) | 0      # default
+        assert got[1]["color_bgr"] == (0 << 16) | (200 << 8) | 255    # light orange
+        assert got[0]["label_y"] == 195.0 and got[2]["label_y"] == 15.0
+
+    def test_numbered_labels(self, spark):
+        from paper_layout_parser_spark.operators.visualization import draw_spec
+
+        det = spark.createDataFrame(
+            [("u", 1, 0, "Figure", .9, 0., 0., 1., 1.),
+             ("u", 1, 1, "Figure", .9, 0., 2., 1., 3.),
+             ("u", 1, 2, "Table", .9, 0., 4., 1., 5.),
+             ("u", 1, 3, "Title", .9, 0., 6., 1., 7.)],
+            "url string, page_no int, det_idx int, class_name string, "
+            "confidence double, x1 double, y1 double, x2 double, y2 double",
+        )
+        got = sorted(r.label for r in draw_spec(det, "numbered").collect())
+        assert got == ["F1", "F2", "T1"]  # Title dropped (no annotation kind)
+
+
+class TestBucketing:
+    def test_bucketed_join_is_exchange_free(self, spark, docs):
+        from paper_layout_parser_spark.sources.catalog import Catalog
+
+        cat = Catalog(spark, "/tmp/plp_bucket_test")
+        left = cat.write_bucketed(
+            docs.select("doc_id", "lang"), "bkt_left", 4, "doc_id")
+        right = cat.write_bucketed(
+            docs.select("doc_id", "n_chars"), "bkt_right", 4, "doc_id")
+        joined = left.join(right.hint("merge"), "doc_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:1500]
+        assert joined.count() == docs.count()
