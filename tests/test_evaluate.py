@@ -122,3 +122,16 @@ def test_per_type_tp_keys_off_caption_id(spark):
     _, cmp = run(spark, [gt_row("g1", cap=CAP)], [pred_row("p1", cap=CAP)])
     pt = per_type_metrics(cmp).collect()[0]
     assert (pt["tp"], pt["accuracy"]) == (1, 1.0)
+
+
+def test_reproduces_published_reference_metrics(spark):
+    """The reference's published benchmark (docs/caption-matching-benchmark-
+    generation.md:100-117): TP=132, FP=24, FN=53 -> P=84.62%, R=71.35%,
+    F1=77.42%. Our metrics math must reproduce those exact rounded values."""
+    from paper_layout_parser_spark.operators.evaluate import _with_metrics
+
+    counts = spark.createDataFrame([(132, 24, 53)], "tp long, fp long, fn long")
+    got = _with_metrics(counts).collect()[0]
+    assert got["precision"] == 0.8462
+    assert got["recall"] == 0.7135
+    assert got["f1"] == 0.7742
