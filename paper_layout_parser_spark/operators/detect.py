@@ -88,7 +88,8 @@ class YoloDetectorBackend:
         raise NotImplementedError("decode pixmap bytes -> model.predict batch")
 
 
-def detect_layout(pages: DataFrame, backend_factory=StubDetectorBackend) -> DataFrame:
+def detect_layout(pages: DataFrame, backend_factory=StubDetectorBackend,
+                  profile=None) -> DataFrame:
     """pages (url, page_no, width, height, page_payload) -> raw detections,
     one row per detection, det_idx = model output order within the page (P2).
     """
@@ -121,11 +122,12 @@ def detect_layout(pages: DataFrame, backend_factory=StubDetectorBackend) -> Data
                     rows["y2"].append(y2)
             yield pd.DataFrame(rows)
 
-    return pages.mapInPandas(run, schema=RAW_DETECTION_SCHEMA)
+    return pages.mapInPandas(run, schema=RAW_DETECTION_SCHEMA, profile=profile)
 
 
 def detect_enrich_layout(pages: DataFrame,
-                         backend_factory=StubDetectorBackend) -> DataFrame:
+                         backend_factory=StubDetectorBackend,
+                         profile=None) -> DataFrame:
     """Fused detect + clipped-text + XY-cut pass (P2 + P7 + O6).
 
     The rasterized chunk row already holds both the pixmap stand-in and the
@@ -209,7 +211,9 @@ def detect_enrich_layout(pages: DataFrame,
                     cols["error"].append(None)
             yield pd.DataFrame(cols)
 
-    return pages.mapInPandas(run, schema=schema)
+    # profile: stage-level scheduling — pin this stage to GPU executors via
+    # session.gpu_task_profile() on a GPU cluster (None on local[N])
+    return pages.mapInPandas(run, schema=schema, profile=profile)
 
 
 def normalize_detections(raw: DataFrame) -> DataFrame:

@@ -56,3 +56,16 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def gpu_task_profile(gpus_per_task: float = 1.0, cpus_per_task: int = 1):
+    """Stage-level resource profile for the inference stage (north star:
+    'layout inference runs as mapInPandas batches pinned to GPU executors').
+
+    Pass the result as ``detect_enrich_layout(..., profile=...)`` on a
+    cluster with GPU executors (spark.executor.resource.gpu.amount set);
+    local[N] has no GPUs, so callers default to profile=None here."""
+    from pyspark.resource import ResourceProfileBuilder, TaskResourceRequests
+
+    reqs = TaskResourceRequests().cpus(cpus_per_task).resource("gpu", gpus_per_task)
+    return ResourceProfileBuilder().require(reqs).build
