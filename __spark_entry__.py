@@ -278,6 +278,11 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_neardup_pairs(_embeddings(spark, sf_dir), threshold=0.4)
 
 
+def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only (approximate); pytest asserts precision 1.0 vs the exact twin
+    return sim.cosine_neardup_lsh(_embeddings(spark, sf_dir), threshold=0.4)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.select(
@@ -355,6 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "embed_neardup": q_embed_neardup,
+        "embed_neardup_lsh": q_embed_neardup_lsh,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "token_count": q_token_count,

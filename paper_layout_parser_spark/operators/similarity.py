@@ -142,11 +142,50 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def cosine_neardup_lsh(embeddings: DataFrame, threshold: float = 0.4,
+                       num_planes: int = 24, bands: int = 8,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       dim: int = 64) -> DataFrame:
+    """Embedding near-dup pairs at scale: SRP band-bucket candidates
+    (O(N x bands) shuffle, never O(N^2)) verified with exact cosine.
+    Precision 1.0 vs cosine_neardup_pairs; recall < 1 by construction."""
+    rows = num_planes // bands
+    mask = (1 << rows) - 1
+    sigs = srp_signatures(embeddings, num_planes, id_col, vec_col, dim)
+    banded = sigs.select(
+        "vec_id", "embedding",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("srp_sig"), b * rows)
+                .bitwiseAND(F.lit(mask)).alias("bucket"),
+            )
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("vec_id", "embedding", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("id_a"), F.col("a.embedding").alias("va"),
+                F.col("b.vec_id").alias("id_b"), F.col("b.embedding").alias("vb"))
+        .distinct()
+    )
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        cands.withColumn("cos", cos)
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", round_half_up(F.col("cos"), 6).alias("cos"))
+    )
+
+
 def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.4,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:
-    """All (a < b) pairs with cosine >= threshold. Exact; at scale, swap the
-    cross join for the SRP candidate join above."""
+    """All (a < b) pairs with cosine >= threshold. Exact; at scale, use
+    cosine_neardup_lsh (SRP candidates) instead of the pairwise join."""
     a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     cos = cosine(F.col("va"), F.col("vb"))

@@ -160,3 +160,25 @@ def test_fused_and_unfused_paths_identical(spark):
     b = run_pipeline(pages, fused=False).enriched.select(cols)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_determinism_under_repartitioning(spark):
+    """Shuffle-robustness: identical outputs regardless of partition counts
+    and chunk sizes (the determinism class that breaks silently at scale)."""
+    pages = build_pages(spark, SF_SMALL).where(
+        F.regexp_extract("url", r"([0-9]+)$", 1).cast("long") < 25
+    ).persist()
+
+    def run(chunk, nparts):
+        out = run_pipeline(pages, chunk_pages=chunk, num_partitions=nparts)
+        text = {r["url"]: r["doc_text"] for r in out.doc_text.collect()}
+        items = {(r["url"], r["item_id"]): (r["cap_y1"], r["caption_text"])
+                 for r in out.matched.collect()}
+        out.enriched.unpersist()
+        return text, items
+
+    t1, i1 = run(16, 8)
+    t2, i2 = run(4, 3)     # giant doc split into many more chunks
+    t3, i3 = run(64, 17)   # single chunk per doc, odd partition count
+    assert t1 == t2 == t3
+    assert i1 == i2 == i3

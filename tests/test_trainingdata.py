@@ -247,3 +247,16 @@ class TestBucketing:
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan[:1500]
         assert joined.count() == docs.count()
+
+
+class TestNeardupLsh:
+    def test_precision_one_and_reasonable_recall(self, spark, emb):
+        exact = {(r.id_a, r.id_b): r.cos
+                 for r in sim.cosine_neardup_pairs(emb, threshold=0.35).collect()}
+        lsh = {(r.id_a, r.id_b): r.cos
+               for r in sim.cosine_neardup_lsh(emb, threshold=0.35).collect()}
+        assert set(lsh) <= set(exact)          # precision 1.0
+        for k, v in lsh.items():
+            assert v == exact[k]               # identical verified cosines
+        if exact:
+            assert len(lsh) >= 0.5 * len(exact)  # SRP recall on uniform data
