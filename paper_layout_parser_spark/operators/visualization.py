@@ -112,7 +112,5 @@ def render_overlays(spec_with_payload: DataFrame, strict: bool = True) -> DataFr
         )
 
     if strict:
-        return spec_with_payload.mapInPandas(
-            run, schema=spec_with_payload.schema.simpleString()[7:-1].replace(":", " ")
-        )
+        return spec_with_payload.mapInPandas(run, schema=spec_with_payload.schema)
     return spec_with_payload
