@@ -104,6 +104,72 @@ def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful streaming sessionization via applyInPandasWithState —
+    the escape hatch for session logic that session_window can't express
+    (e.g. carrying per-session custom accumulators across micro-batches).
+
+    State per user: (open-session start/last-seen epoch seconds, event
+    count, value sum). A micro-batch extends or closes sessions as events
+    arrive; every batch emits the affected sessions with a ``closed`` flag
+    (update output mode), so downstream consumers upsert on
+    (user_id, session_start). NoTimeout is used deliberately: processing-
+    time timeouts keep a query permanently busy (even processAllAvailable
+    blocks), and event-time gap closure already happens on the next event.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_s = gap_minutes * 60
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, sum_value double, closed boolean"
+    )
+    state_schema = "start long, last long, n long, total double"  # start/last: epoch ns
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        rows = []
+        start = last = n = None
+        total = 0.0
+        if state.exists:
+            start, last, n, total = state.get
+        gap_ns = gap_s * 1_000_000_000
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                epoch = pd.Timestamp(ts).value  # ns — full precision
+                if start is None:
+                    start, last, n, total = epoch, epoch, 1, float(value)
+                elif epoch - last > gap_ns:
+                    rows.append((user_id, start, last, n, total, True))
+                    start, last, n, total = epoch, epoch, 1, float(value)
+                else:
+                    last = max(last, epoch)
+                    n += 1
+                    total += float(value)
+        if start is not None:
+            state.update((start, last, n, total))
+            rows.append((user_id, start, last, n, total, False))
+        if rows:
+            import pandas as pd
+            yield pd.DataFrame({
+                "user_id": [r[0] for r in rows],
+                "session_start": [pd.Timestamp(r[1]) for r in rows],
+                "session_end": [pd.Timestamp(r[2]) for r in rows],
+                "n_events": [r[3] for r in rows],
+                "sum_value": [r[4] for r in rows],
+                "closed": [r[5] for r in rows],
+            })
+
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Batch sessionization twin (lag + cumulative gap counter) — returns
     the same (user_id, session bounds, counts) for static data; its SQL
