@@ -6,8 +6,11 @@ mapInPandas HTTP stage -> native JSON repair/parse -> GT rows.
 
 The reference's concurrency knobs map directly:
   * ThreadPoolExecutor over pages (C1)  -> task parallelism, free;
-  * semaphore rate limit (C3)           -> ``coalesce(max_concurrency)`` on
-    the API stage: at most N concurrent tasks hit the endpoint;
+  * semaphore rate limit (C3)           -> ``repartition(max_concurrency)``
+    on the API stage: at most N concurrent tasks hit the endpoint. This is
+    a repartition (inserts an exchange), NOT coalesce — coalesce merges
+    without a shuffle and would collapse the upstream rasterize stage to
+    the API's concurrency too;
   * retry x3 exponential backoff (C4)   -> inside the UDF per request —
     Spark task retry is too coarse (it would replay a whole partition).
 
@@ -75,8 +78,10 @@ def annotate_pages(
 ) -> DataFrame:
     """pages -> raw VLM responses (url, page_no, response string).
 
-    ``coalesce(max_concurrency)`` bounds concurrent API calls (the semaphore
-    analogue); retries with exponential backoff run inside the UDF.
+    ``repartition(max_concurrency)`` bounds concurrent API calls (the
+    semaphore analogue) behind its own exchange, so only THIS stage runs at
+    the API's concurrency — upstream stages keep full parallelism; retries
+    with exponential backoff run inside the UDF.
     """
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -102,10 +107,32 @@ def annotate_pages(
                 "response": responses,
             })
 
-    bounded = rasterized.select("url", "page_no", "page_payload").coalesce(
+    bounded = rasterized.select("url", "page_no", "page_payload").repartition(
         max_concurrency
     )
     return bounded.mapInPandas(run, schema="url string, page_no int, response string")
+
+
+def annotatable_pages(rasterized: DataFrame,
+                      detections: DataFrame | None = None) -> DataFrame:
+    """F7 empty-page short-circuit (annotator.py:674-680): pages with no
+    figure/table regions never reach the (rate-limited) API stage.
+
+    With a ``detections`` DataFrame (the normal pipeline case), the filter is
+    a semi-join against figure/table detections — exact, native, and pushed
+    before the bounded exchange. Without it, a cheap native payload scan
+    stands in (the PLP1 body is JSON; real deployments pass detections)."""
+    if detections is not None:
+        keep = (
+            detections.where(F.col("class_name").isin("Figure", "Table"))
+            .select("url", "page_no")
+            .distinct()
+        )
+        return rasterized.join(keep, ["url", "page_no"], "left_semi")
+    body = F.col("page_payload").cast("string")
+    return rasterized.where(
+        body.contains('"name":"Figure"') | body.contains('"name":"Table"')
+    )
 
 
 def parse_annotations(responses: DataFrame) -> DataFrame:
@@ -137,6 +164,9 @@ def parse_annotations(responses: DataFrame) -> DataFrame:
     )
 
 
-def annotate_and_parse(rasterized: DataFrame, **kw) -> DataFrame:
+def annotate_and_parse(rasterized: DataFrame,
+                       detections: DataFrame | None = None, **kw) -> DataFrame:
     """Full §3.2 stage: skip empty pages (F7) -> API -> parse."""
-    return parse_annotations(annotate_pages(rasterized, **kw))
+    return parse_annotations(
+        annotate_pages(annotatable_pages(rasterized, detections), **kw)
+    )

@@ -31,8 +31,19 @@ DEFAULT_SHINGLE_K = 3
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
-    """One row per distinct text: the kept (minimum) id and the copy count."""
-    return docs.groupBy(text_col).agg(
+    """One row per distinct text: the kept (minimum) id and the copy count.
+
+    The grouping key is (xxhash64(text), length(text)), NOT the raw text —
+    at 100 TB, shuffling full document bodies as the exchange key is the
+    dominant cost; the 16-byte composite key shuffles only ids + counts
+    after the map-side combine. Collision odds for a 64-bit hash qualified
+    by exact length are ~n²/2⁶⁵ (≈10⁻⁸ even at 10⁹ distinct docs); where
+    that is not acceptable, substitute sha2(text, 256) for xxhash64 —
+    same plan shape."""
+    return docs.groupBy(
+        F.xxhash64(F.col(text_col)).alias("__h"),
+        F.length(F.col(text_col)).alias("__len"),
+    ).agg(
         F.min(id_col).alias("keep_id"),
         F.count("*").alias("n_copies"),
     ).select("keep_id", "n_copies")

@@ -43,8 +43,16 @@ def compare_matches(
     """
     gtf = gt.where(F.col("confidence") >= confidence_threshold)
 
+    # item_seq (integer per-doc counter) orders exactly like the reference's
+    # insertion order; the formatted item_id would sort "fig_100_x" before
+    # "fig_20_x" once %02d widens. Derive it from the id only for callers
+    # that feed external predictions without the counter column.
+    seq = (
+        F.col("item_seq") if "item_seq" in predictions.columns
+        else F.get(F.split(F.col("item_id"), "_"), 2).cast("int")
+    )
     pred = predictions.select(
-        "url", "page_number", "item_type", "item_id",
+        "url", "page_number", "item_type", "item_id", seq.alias("item_seq"),
         "item_x1", "item_y1", "item_x2", "item_y2",
         "cap_x1", "cap_y1", "cap_x2", "cap_y2",
     )
@@ -60,9 +68,14 @@ def compare_matches(
     )
     # argmax per GT row; strictly-greater scan in the reference keeps the
     # earliest prediction on ties (list order: figures before tables, then
-    # id order) — encode that tie-break explicitly
+    # insertion order) — encode that tie-break explicitly, on the INTEGER
+    # counter (candidates share the page via the equi-join, so within-page
+    # item_seq order == detection order)
+    # final item_id fallback only matters for external predictions whose ids
+    # don't carry a parseable counter (item_seq NULL)
     w = Window.partitionBy("url", "figure_id").orderBy(
-        F.desc("figure_iou"), F.asc("item_type"), F.asc("item_id")
+        F.desc("figure_iou"), F.asc("item_type"),
+        F.asc_nulls_last("item_seq"), F.asc("item_id"),
     )
     best = (
         paired.withColumn("rn", F.row_number().over(w))

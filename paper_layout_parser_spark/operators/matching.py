@@ -202,11 +202,16 @@ def match_captions(
     # figure_extractor.py:179-244
     w = Window.partitionBy("url", "item_type").orderBy("page_no", "item_idx")
     prefix = F.when(F.col("item_type") == "figure", F.lit("fig")).otherwise(F.lit("table"))
+    # item_seq: the raw per-doc counter as an INTEGER. Downstream tie-breaks
+    # (evaluate.compare_matches) must order by it, not by the %02d-formatted
+    # item_id — past 99 pages/items lexicographic order diverges from the
+    # reference's insertion order ("fig_100_x" < "fig_20_x").
     out_cols = [
         "url",
         "item_type",
         F.concat(prefix, F.format_string("_%02d_%02d", F.col("page_no"), F.row_number().over(w)))
         .alias("item_id"),
+        F.row_number().over(w).alias("item_seq"),
         F.col("page_no").alias("page_number"),
         "item_x1", "item_y1", "item_x2", "item_y2",
         "cap_x1", "cap_y1", "cap_x2", "cap_y2",

@@ -9,7 +9,16 @@ grain BEFORE the expensive stage:
                            backend is ``fitz.open(...).page_count``).
   2. ``plan_splits``     — explode each doc into page-range chunks and
                            hash-repartition on (url, chunk) so giant docs
-                           spread across the cluster.
+                           spread across the cluster. Each chunk row carries
+                           ONLY its own pages' bytes (payload ∝ chunk pages):
+                           shipping the whole document per chunk would
+                           amplify the heaviest column by the very skew
+                           factor the split defends against (a 10^4-page doc
+                           at 16 pages/chunk = 625 copies through the
+                           exchange). The synthetic PLP1 container is
+                           page-sliceable; for real PDFs the chunk payload
+                           becomes an object-store reference + page range
+                           (fitz opens lazily per range) instead of bytes.
   3. ``rasterize_pages`` — mapInPandas over chunks, emitting one row per
                            page. The page payload column stands in for the
                            rendered pixmap + text layer (pdf_converter.py:84-96
@@ -50,6 +59,16 @@ def probe_pages(pages: DataFrame) -> DataFrame:
     )
 
 
+def _slice_chunk(pages_list: list[dict], start: int, end: int) -> bytes:
+    """Re-wrap pages[start:end) (1-indexed page_no) in the PLP1 container —
+    the chunk payload holds only its own pages' bytes."""
+    import struct
+
+    chunk = [pg for pg in pages_list if start <= pg["page_no"] < end]
+    body = json.dumps({"v": 1, "pages": chunk}, separators=(",", ":")).encode()
+    return b"PLP1" + struct.pack(">I", len(chunk)) + body
+
+
 def _plan_batches_factory(chunk_pages: int):
     from ..synthdata import html_page_count
 
@@ -58,12 +77,24 @@ def _plan_batches_factory(chunk_pages: int):
             urls, htmls, starts, ends = [], [], [], []
             for url, payload in zip(pdf["url"], pdf["html"]):
                 payload = bytes(payload)
-                total = html_page_count(payload)  # header only, no body parse
-                for start in range(1, total + 1, chunk_pages):
+                total = html_page_count(payload)  # header: page count
+                if total <= chunk_pages:
+                    # single-chunk fast path: ship the original bytes as-is,
+                    # no parse (the common case — median docs are small)
                     urls.append(url)
                     htmls.append(payload)
+                    starts.append(1)
+                    ends.append(total + 1)
+                    continue
+                # multi-chunk doc: parse ONCE, slice per chunk so each chunk
+                # row carries only its own pages through the shuffle
+                pages_list = json.loads(payload[8:])["pages"]
+                for start in range(1, total + 1, chunk_pages):
+                    end = min(start + chunk_pages, total + 1)
+                    urls.append(url)
+                    htmls.append(_slice_chunk(pages_list, start, end))
                     starts.append(start)
-                    ends.append(min(start + chunk_pages, total + 1))
+                    ends.append(end)
             yield pd.DataFrame({
                 "url": urls, "html": htmls,
                 "page_start": starts, "page_end": ends,
@@ -79,7 +110,8 @@ def plan_splits(pages: DataFrame, chunk_pages: int = DEFAULT_CHUNK_PAGES,
     One mapInPandas pass does the metadata probe AND the chunk fan-out
     (a join against a separate probe would recompute the upstream lineage
     twice and shuffle the html payloads an extra time). The real backend's
-    probe is fitz's page_count — cheap relative to rendering.
+    probe is fitz's page_count — cheap relative to rendering. Chunk payload
+    is sliced to the chunk's own pages (payload ∝ pages, never ∝ doc).
     """
     planned = pages.select("url", "html").mapInPandas(
         _plan_batches_factory(chunk_pages),

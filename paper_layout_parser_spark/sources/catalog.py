@@ -78,8 +78,15 @@ class Catalog:
         rows (partition_id, urls_in, pages_in, bytes_out, wall_ms) to
         ``<table>__lineage``, then return the committed table.
 
-        The lineage accounting rides inside the same pass (mapInPandas), so
-        it costs one extra column scan, not an extra job."""
+        The staged DataFrame is persisted around the two appends: without
+        it, the lineage append would RECOMPUTE the whole upstream (incl.
+        mapInPandas stages) — doubling stage cost and potentially recording
+        partition counts from a different physical plan than the data
+        actually written. On a real cluster replace the persist with a
+        read-back of the just-committed snapshot. A crash between the data
+        append and the lineage append leaves data committed with lineage
+        missing for that run_id — resume correctness is unaffected (resume
+        keys off the DATA snapshot; lineage is observability)."""
         run_id = uuid.uuid4().hex[:12]
         cols = df.columns
         page_expr = F.col(page_col) if page_col and page_col in cols else F.lit(1)
@@ -94,7 +101,7 @@ class Catalog:
             df.withColumn("__bytes", sizer)
             .withColumn("__page", page_expr)
             .withColumn("__pid", F.spark_partition_id())
-        )
+        ).persist()
         lineage = staged.groupBy("__pid").agg(
             F.countDistinct(url_col).alias("urls_in"),
             F.countDistinct(url_col, "__page").alias("pages_in"),
@@ -107,9 +114,13 @@ class Catalog:
             F.lit(int(time.time() * 1000)).alias("committed_ms"),
         )
         t0 = time.monotonic()
-        self.append(staged.drop("__bytes", "__page", "__pid"), table)
-        wall_ms = int((time.monotonic() - t0) * 1000)
-        self.append(lineage.withColumn("wall_ms", F.lit(wall_ms)), f"{table}__lineage")
+        try:
+            self.append(staged.drop("__bytes", "__page", "__pid"), table)
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            self.append(lineage.withColumn("wall_ms", F.lit(wall_ms)),
+                        f"{table}__lineage")
+        finally:
+            staged.unpersist()
         return self.read(table)
 
     # -- bucketing ------------------------------------------------------------

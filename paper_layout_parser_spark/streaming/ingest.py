@@ -136,8 +136,15 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         if state.exists:
             start, last, n, total = state.get
         gap_ns = gap_s * 1_000_000_000
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
+        # a user's micro-batch rows can span several Arrow chunks (e.g. more
+        # than maxRecordsPerBatch rows); sorting chunks independently would
+        # corrupt session bounds, so concatenate the whole group FIRST and
+        # sort once. Per-group size is bounded by one user's events per
+        # micro-batch — cap the trigger interval if a single user can
+        # produce unbounded rows per batch.
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("ts")
             for ts, value in zip(pdf["ts"], pdf["value"]):
                 epoch = pd.Timestamp(ts).value  # ns — full precision
                 if start is None:

@@ -337,6 +337,8 @@ matched AS (
                   i.p,
                   row_number() OVER (PARTITION BY i.doc_id, i.item_type
                                      ORDER BY i.p, i.b)) AS item_id,
+           row_number() OVER (PARTITION BY i.doc_id, i.item_type
+                              ORDER BY i.p, i.b) AS item_seq,
            i.x1 AS item_x1, i.y1 AS item_y1, i.x2 AS item_x2, i.y2 AS item_y2,
            c.x1 AS cap_x1, c.y1 AS cap_y1, c.x2 AS cap_x2, c.y2 AS cap_y2,
            c.txt AS caption_text
@@ -429,7 +431,7 @@ paired AS (
     SELECT g.url, g.figure_id, g.figure_type, g.page_number, g.cap_id,
            g.gt_x1, g.gt_y1, g.gt_x2, g.gt_y2,
            g.gcap_x1, g.gcap_y1, g.gcap_x2, g.gcap_y2,
-           p.item_type, p.item_id,
+           p.item_type, p.item_id, p.item_seq,
            p.item_x1 AS item_x1, p.item_y1 AS item_y1,
            p.item_x2 AS item_x2, p.item_y2 AS item_y2,
            p.cap_x1, p.cap_y1, p.cap_x2, p.cap_y2,
@@ -439,7 +441,7 @@ paired AS (
 best AS (
     SELECT * FROM paired
     QUALIFY row_number() OVER (PARTITION BY url, figure_id
-                               ORDER BY figure_iou DESC, item_type, item_id) = 1
+                               ORDER BY figure_iou DESC, item_type, item_seq) = 1
 ),
 verd AS (
     SELECT url, figure_id, figure_type, page_number, cap_id,

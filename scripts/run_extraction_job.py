@@ -4,19 +4,71 @@
 Usage (via scripts/submit_example.sh):
     run_extraction_job.py <pages_table_or_path> <warehouse_root>
 
-Reads the pages table, processes only not-yet-committed urls (left-anti
-against the warehouse snapshot), checkpoints doc_text / matched / stats with
-per-partition lineage rows.
+Reads the pages table, processes only not-yet-fully-committed urls,
+checkpoints doc_text / extracted_items / doc_stats with per-partition
+lineage rows.
+
+Resume contract (exactly-once per url per TABLE): the job commits several
+tables, and a crash can land between their checkpoints. Gating pending work
+on any single table would leave permanent gaps in the later tables, so
+  * a url is "done" only when present in ALL committed tables
+    (intersection), and
+  * each table's append is itself left-anti-filtered against that table's
+    snapshot, so urls that were partially committed never duplicate rows in
+    the tables that did commit.
 """
 
 from __future__ import annotations
 
 import sys
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 from paper_layout_parser_spark.plans.pipeline import run_pipeline
 from paper_layout_parser_spark.sources.catalog import Catalog
+
+# (table, PipelineOutputs attribute, page column for lineage accounting)
+STAGE_TABLES = [
+    ("doc_text", "doc_text", None),
+    ("extracted_items", "matched", "page_number"),
+    ("doc_stats", "doc_stats", None),
+]
+
+
+def fully_committed_urls(cat: Catalog, tables: list[str]) -> DataFrame | None:
+    """urls present in EVERY table's snapshot — None when any table is
+    missing entirely (then nothing counts as done)."""
+    done = None
+    for t in tables:
+        if not cat.exists(t):
+            return None
+        keys = cat.read(t).select("url").distinct()
+        done = keys if done is None else done.join(keys, "url", "left_semi")
+    return done
+
+
+def run_job(spark: SparkSession, pages: DataFrame, cat: Catalog) -> int:
+    """Process all urls not yet committed to every stage table; returns the
+    number of urls processed this run."""
+    tables = [t for t, _, _ in STAGE_TABLES]
+    done = fully_committed_urls(cat, tables)
+    todo = pages if done is None else pages.join(done, "url", "left_anti")
+    n_todo = todo.select("url").distinct().count()
+    if n_todo == 0:
+        print("nothing pending; all inputs committed to every table")
+        return 0
+    out = run_pipeline(todo)
+    for table, attr, page_col in STAGE_TABLES:
+        df = getattr(out, attr)
+        # per-table left-anti: a url committed here in a crashed run (but
+        # missing from a later table) must not append twice
+        fresh = cat.pending_inputs(df, table, key="url")
+        cat.checkpoint_stage(fresh, table, page_col=page_col)
+    if out.quarantine is not None:
+        cat.append(cat.pending_inputs(out.quarantine, "quarantine", key="url"),
+                   "quarantine")
+    out.enriched.unpersist()
+    return n_todo
 
 
 def main(pages_path: str, warehouse: str) -> None:
@@ -26,17 +78,7 @@ def main(pages_path: str, warehouse: str) -> None:
         spark.read.table(pages_path) if "." in pages_path and "/" not in pages_path
         else spark.read.parquet(pages_path)
     )
-    todo = cat.pending_inputs(pages, "doc_text", key="url")
-    if todo.limit(1).count() == 0:
-        print("nothing pending; all inputs committed")
-        return
-    out = run_pipeline(todo)
-    cat.checkpoint_stage(out.doc_text, "doc_text", page_col=None)
-    cat.checkpoint_stage(out.matched, "extracted_items", page_col="page_number")
-    cat.checkpoint_stage(out.doc_stats, "doc_stats", page_col=None)
-    if out.quarantine is not None:
-        cat.append(out.quarantine, "quarantine")
-    out.enriched.unpersist()
+    run_job(spark, pages, cat)
 
 
 if __name__ == "__main__":

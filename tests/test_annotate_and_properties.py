@@ -57,6 +57,51 @@ class TestAnnotateStage:
         bounded = annotate_pages(pages, max_concurrency=2)
         assert bounded.rdd.getNumPartitions() <= 2
 
+    def test_rate_bound_is_isolated_exchange(self, spark, pages):
+        """The concurrency bound must be a repartition (its own exchange),
+        not a coalesce — coalesce would collapse the upstream rasterize
+        stage to the API's concurrency too."""
+        from .test_plans import plan_of
+
+        plan = plan_of(spark, annotate_pages(pages, max_concurrency=2), "simple")
+        assert "RoundRobinPartitioning(2)" in plan
+        assert "Coalesce" not in plan
+
+    def test_empty_pages_never_call_the_client(self, spark, pages):
+        """F7 short-circuit: pages with no figure/table regions must produce
+        ZERO API calls. TattlingClient tags any empty-page call with a
+        sentinel id that would surface in the parsed output."""
+        import json as _json
+
+        class TattlingClient(StubVLMClient):
+            def annotate(self, page_payload):
+                page = _json.loads(bytes(page_payload))
+                if not any(b["name"] in ("Figure", "Table")
+                           for b in page["blocks"]):
+                    return ('```json\n{"matches": [{"figure_id": "EMPTY_CALL", '
+                            '"figure_type": "figure", "bbox": [0, 0, 1, 1], '
+                            '"caption_bbox": null, "caption_text": null, '
+                            '"confidence": 1.0}]}\n```')
+                return super().annotate(page_payload)
+
+        total = pages.count()
+        # payload-scan filter path
+        gt = annotate_and_parse(pages, client_factory=TattlingClient)
+        assert gt.where(F.col("figure_id") == "EMPTY_CALL").count() == 0
+        # detections semi-join path
+        from paper_layout_parser_spark.operators.annotate import annotatable_pages
+        from paper_layout_parser_spark.operators.detect import (
+            StubDetectorBackend, detect_layout, normalize_detections,
+        )
+
+        det = normalize_detections(detect_layout(pages, StubDetectorBackend))
+        kept = annotatable_pages(pages, det)
+        assert 0 < kept.count() < total
+        gt2 = annotate_and_parse(pages, detections=det,
+                                 client_factory=TattlingClient)
+        assert gt2.where(F.col("figure_id") == "EMPTY_CALL").count() == 0
+        assert gt2.count() == gt.count() == annotate_and_parse(pages).count()
+
 
 BOX = st.tuples(
     st.floats(0, 800), st.floats(0, 1200),

@@ -114,6 +114,40 @@ class TestStreamingIngest:
         dupes = committed.groupBy("url").count().where("count > 1").count()
         assert dupes == 0
 
+    def test_multi_table_resume_fills_gaps_without_duplicates(
+        self, spark, tmp_path, small_pages
+    ):
+        """A crash between per-table checkpoints must not leave permanent
+        gaps: a url committed to doc_text but not to extracted_items /
+        doc_stats is reprocessed on the next run, and the already-committed
+        table gets no duplicate rows."""
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+        from run_extraction_job import run_job
+
+        from paper_layout_parser_spark.sources.catalog import Catalog
+
+        cat = Catalog(spark, str(tmp_path / "wh"))
+        pages10 = small_pages.limit(10).persist()
+
+        # simulate a run that died after the doc_text checkpoint
+        partial = run_pipeline(pages10)
+        cat.checkpoint_stage(partial.doc_text, "doc_text", page_col=None)
+        partial.enriched.unpersist()
+        assert not cat.exists("doc_stats")
+
+        n = run_job(spark, pages10, cat)
+        assert n == 10  # all urls still pending (doc_stats missing)
+        for t in ("doc_text", "extracted_items", "doc_stats"):
+            assert cat.read(t).select("url").distinct().count() == 10
+        # the pre-committed table must not have duplicate rows
+        assert cat.read("doc_text").groupBy("url").count().where("count > 1").count() == 0
+
+        # fully committed -> second run is a no-op
+        assert run_job(spark, pages10, cat) == 0
+
     def test_windowed_counts_streaming_equals_batch(self, spark, tmp_path):
         from paper_layout_parser_spark.streaming.ingest import windowed_event_counts
 

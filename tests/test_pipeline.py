@@ -142,6 +142,40 @@ def test_plan_splits_spreads_giant_docs(spark):
     assert pids >= 2
 
 
+def test_chunk_payload_proportional_to_pages(spark):
+    """Skew defense must not amplify: each chunk of a multi-chunk document
+    carries ONLY its own pages' bytes through the exchange (a giant doc must
+    not put N copies of itself through the shuffle)."""
+    pages = build_pages(spark, SF_SMALL).where(F.col("url") == sd.url_of(0))
+    full_len = len(pages.select("html").first()["html"])  # 64-page giant
+    planned = plan_splits(pages, chunk_pages=16, num_partitions=4)
+    sizes = [r["n"] for r in planned.select(F.length("html").alias("n")).collect()]
+    assert len(sizes) == 4
+    # sliced payloads sum to ~the original (tiny per-chunk header overhead),
+    # not chunks x original
+    assert sum(sizes) < full_len * 1.05
+    assert max(sizes) < full_len / 2
+
+
+def test_exact_dedup_shuffles_hash_not_text(spark):
+    """The dedup exchange key must be the 64-bit hash + length, never the
+    raw text column (at 100 TB the full-text shuffle is the dominant cost)."""
+    from paper_layout_parser_spark.operators.dedup import exact_dedup
+    from .test_plans import plan_of
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    out = exact_dedup(docs)
+    plan = plan_of(spark, out, "simple")
+    assert "xxhash64(text" in plan
+    # Catalyst folds the aliased keys into _groupingexpression columns; the
+    # exchange must partition on those derived (hash, length) keys
+    assert "hashpartitioning(_groupingexpression" in plan
+    # the raw text column must not be a partitioning key
+    assert "hashpartitioning(text" not in plan
+    # still correct: driver corpus has no dupes -> one row per doc
+    assert out.count() == docs.count()
+
+
 def test_rasterize_page_counts(corpus):
     pages, out = corpus
     got = out.rasterized.groupBy("url").count().collect()
