@@ -231,12 +231,87 @@ def q_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_result_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only (JSON string formatting is engine-specific); round-trip
-    # parity is asserted in pytest via from_json
+    """K1 surface, oracle-checked THROUGH the serialized artifact: the
+    fields are extracted from the produced result_json string with
+    get_json_object (a real JSON parse), so the oracle verifies both the
+    statistics math and that the sink actually serializes it. Full-structure
+    round-trip (from_json) is asserted in pytest."""
     from paper_layout_parser_spark.operators.stats import result_json
 
     _, out = _pipeline(spark, sf_dir)
-    return result_json(out.enriched)
+    j = F.col("result_json")
+    return result_json(out.enriched).select(
+        "url",
+        F.get_json_object(j, "$.total_pages").cast("long").alias("total_pages"),
+        F.get_json_object(j, "$.statistics.total_detections").cast("long")
+        .alias("total_detections"),
+        F.get_json_object(j, "$.statistics.average_detections_per_page")
+        .cast("double").alias("avg_det_per_page"),
+        F.json_array_length(F.get_json_object(j, "$.pages")).cast("long")
+        .alias("n_pages_serialized"),
+        F.get_json_object(j, "$.model").alias("model"),
+    )
+
+
+def q_summary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: the per-document array carried inside the summary report,
+    flattened back to rows so the oracle can verify the array content."""
+    from paper_layout_parser_spark.operators.report import summary_with_documents
+
+    _, out = _pipeline(spark, sf_dir)
+    s = summary_with_documents(out.doc_stats)
+    return s.select(F.explode("documents").alias("d")).select(
+        F.col("d.url").alias("url"),
+        F.col("d.total_pages").cast("long").alias("total_pages"),
+        F.col("d.total_detections").alias("total_detections"),
+        F.col("d.average_detections_per_page").alias("average_detections_per_page"),
+    )
+
+
+def q_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only (rendered-artifact formatting is engine-specific); the
+    # golden-shape pytest compares field-for-field against the reference's
+    # report layout
+    from paper_layout_parser_spark.operators.report import build_reports
+
+    _, out = _pipeline(spark, sf_dir)
+    gt = build_ground_truth(out.matched)
+    summary, js, md = build_reports(compare_matches(gt, out.matched))
+    return spark.createDataFrame(
+        [(js, md, len(summary["document_results"]))],
+        "report_json string, report_md string, n_documents int",
+    )
+
+
+def q_crop_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 bounds surface: padded+clamped crop rects in PDF coords (P5) and
+    the pixel rect the re-render rasterizes. The binary render itself is
+    covered by pytest (determinism + schema); this query oracle-checks every
+    number that feeds it."""
+    from paper_layout_parser_spark.operators.crop import crop_bounds
+
+    _, out = _pipeline(spark, sf_dir)
+    b = crop_bounds(out.matched, float(sd.PAGE_W), float(sd.PAGE_H))
+    return b.select(
+        "url", "item_type", "item_id",
+        F.col("page_number").cast("long").alias("page_number"),
+        "pdf_x0", "pdf_y0", "pdf_x1", "pdf_y1",
+        "px_x0", "px_y0", "px_x1", "px_y1",
+    )
+
+
+def q_crop_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only (the crop binary is codec-specific); pytest asserts the stub
+    # codec's determinism and the base64 round-trip
+    from paper_layout_parser_spark.operators.crop import (
+        crop_bounds,
+        crops_base64,
+        render_crops,
+    )
+
+    _, out = _pipeline(spark, sf_dir)
+    b = crop_bounds(out.matched, float(sd.PAGE_W), float(sd.PAGE_H))
+    return crops_base64(render_crops(b, out.rasterized))
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -353,6 +428,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": q_event_windows,
         "props_parse": q_props_parse,
         "doc_result_json": q_doc_result_json,
+        "summary_documents": q_summary_documents,
+        "eval_report": q_eval_report,
+        "crop_regions": q_crop_regions,
+        "crop_render": q_crop_render,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -488,6 +567,29 @@ SELECT url, item_id, item_type, p AS page_number,
 FROM matched"""
 
 
+def _crop_sql(dpi: float = 200.0, padding: float = 10.0) -> str:
+    """Oracle for q_crop_regions — the expression shapes mirror
+    operators.crop.crop_bounds term-for-term so doubles are bit-identical."""
+    W, H = float(sd.PAGE_W), float(sd.PAGE_H)
+    pad = f"{padding} * 72.0 / {dpi}"
+    x0 = f"GREATEST(0.0, item_x1 * 72.0 / {dpi} - {pad})"
+    y0 = f"GREATEST(0.0, item_y1 * 72.0 / {dpi} - {pad})"
+    x1 = f"LEAST({W} * 72.0 / {dpi}, item_x2 * 72.0 / {dpi} + {pad})"
+    y1 = f"LEAST({H} * 72.0 / {dpi}, item_y2 * 72.0 / {dpi} + {pad})"
+    px = lambda e: sd.sql_round_half_up(f"({e}) * {dpi} / 72.0", 2)  # noqa: E731
+    return f"""WITH {sd.matched_items_cte('documents')}
+SELECT url, item_type, item_id, p AS page_number,
+       {sd.sql_round_half_up(x0, 4)} AS pdf_x0,
+       {sd.sql_round_half_up(y0, 4)} AS pdf_y0,
+       {sd.sql_round_half_up(x1, 4)} AS pdf_x1,
+       {sd.sql_round_half_up(y1, 4)} AS pdf_y1,
+       {px(x0)} AS px_x0,
+       {px(y0)} AS px_y0,
+       {px(x1)} AS px_x1,
+       {px(y1)} AS px_y1
+FROM matched"""
+
+
 def _json_repair_sql() -> str:
     from paper_layout_parser_spark.functions.json_repair import repair_json_sql
 
@@ -558,6 +660,25 @@ SELECT total_documents, tp, fp, fn, correct_no_caption, total_comparisons,
        {sd.sql_round_half_up('r_raw', 4)} AS recall,
        {sd.sql_round_half_up('CASE WHEN p_raw + r_raw > 0 THEN 2 * p_raw * r_raw / (p_raw + r_raw) ELSE 0.0 END', 4)} AS f1
 FROM m""",
+        "doc_result_json": f"""WITH {det},
+per_doc AS (
+  SELECT url, count(*) AS total_detections,
+         count(DISTINCT p) AS n_pages
+  FROM det GROUP BY url
+)
+SELECT url,
+       n_pages AS total_pages,
+       total_detections,
+       {sd.sql_round_half_up('total_detections::DOUBLE / n_pages', 2)} AS avg_det_per_page,
+       n_pages AS n_pages_serialized,
+       'doclayout-yolo' AS model
+FROM per_doc""",
+        "summary_documents": f"""WITH {det}
+SELECT url, max(npages) AS total_pages, count(*) AS total_detections,
+       {sd.sql_round_half_up('count(*)::DOUBLE / max(npages)', 2)} AS average_detections_per_page
+FROM (SELECT det.*, d.npages FROM det JOIN docs d USING (doc_id))
+GROUP BY url""",
+        "crop_regions": _crop_sql(),
         "label_studio": _label_studio_sql(),
         "json_repair": _json_repair_sql(),
         "sessionize": _SESSIONIZE_SQL,

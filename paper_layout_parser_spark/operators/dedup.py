@@ -20,7 +20,7 @@ Embedding-cosine near-dup lives in operators.similarity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.geometry import round_half_up
@@ -47,6 +47,32 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
         F.min(id_col).alias("keep_id"),
         F.count("*").alias("n_copies"),
     ).select("keep_id", "n_copies")
+
+
+def cap_buckets(banded: DataFrame, max_bucket: int | None, order_col: str,
+                keys: tuple[str, str] = ("band", "bucket")) -> DataFrame:
+    """Hot-bucket guard for banded LSH joins: keep at most ``max_bucket``
+    members per (band, bucket), deterministically (lowest ids win).
+
+    Why: a viral duplicate (the same page mirrored across millions of urls)
+    puts all its copies in the SAME bucket of EVERY band — the in-bucket
+    join goes quadratic exactly where the corpus is most skewed. Capping
+    bounds per-bucket work at max_bucket² while leaving normal buckets
+    (≤ cap) untouched, so recall on non-viral pairs is unchanged. Run
+    ``exact_dedup`` FIRST so byte-identical copies are collapsed by the
+    cheap hash path; the cap then only guards near-duplicate floods.
+
+    The window shuffles on the same (band, bucket) key as the downstream
+    join, so AQE coalesces the two exchanges; per-bucket cost is the sort,
+    O(n log n), never the n² join."""
+    if not max_bucket:
+        return banded
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    return (
+        banded.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_bucket)
+        .drop("__rn")
+    )
 
 
 def _shingle_table(docs: DataFrame, id_col: str, text_col: str,
@@ -112,13 +138,19 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 32,
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
                       num_hashes: int = 32, bands: int = 8,
                       id_col: str = "doc_id", text_col: str = "text",
-                      k: int = DEFAULT_SHINGLE_K) -> DataFrame:
+                      k: int = DEFAULT_SHINGLE_K,
+                      max_bucket: int | None = 256) -> DataFrame:
     """LSH candidate generation + exact-Jaccard verification.
 
     bands x rows layout (rows = num_hashes // bands). With 8 bands of 4
     rows, recall at J=0.8 is ~0.985 and at J=0.9 ~1.0 — the regime that
     matters for near-duplicate removal. Candidates are verified with exact
     Jaccard so precision is 1.0 relative to `jaccard_pairs`.
+
+    ``max_bucket`` is the viral-duplicate guard (see ``cap_buckets``):
+    per-bucket join work is bounded at max_bucket² instead of going
+    quadratic in the number of copies of the hottest page. Pass None to
+    disable (exact twin behavior on corpora known to be dedup'd).
     """
     rows = num_hashes // bands
     sigs = minhash_signatures(docs, num_hashes, id_col, text_col, k)
@@ -133,6 +165,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
     banded = sigs.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    banded = cap_buckets(banded, max_bucket, "doc_id")
     x = banded.alias("x")
     y = banded.alias("y")
     candidates = (
@@ -187,12 +220,14 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
-                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                  id_col: str = "doc_id", text_col: str = "text",
+                  max_bucket: int | None = 256) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
     Banding: 4 x 16-bit bands — any pair within Hamming 3 shares at least
     one exact band (pigeonhole), so the join is equi on (band, value),
-    never quadratic."""
+    never quadratic across the corpus; ``max_bucket`` (see ``cap_buckets``)
+    additionally bounds the in-bucket blowup from viral duplicates."""
     sims = simhash64(docs, id_col, text_col)
     bands = sims.select(
         "doc_id", "simhash",
@@ -205,6 +240,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
             for b in range(4)
         ])).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.v")
+    bands = cap_buckets(bands, max_bucket, "doc_id", keys=("band", "v"))
     x = bands.alias("x")
     y = bands.alias("y")
     return (

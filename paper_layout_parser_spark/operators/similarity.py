@@ -98,12 +98,18 @@ def srp_signatures(embeddings: DataFrame, num_planes: int = 16,
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
              num_planes: int = 24, bands: int = 8,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             dim: int = 64) -> DataFrame:
+             dim: int = 64, max_bucket: int | None = 4096) -> DataFrame:
     """Approximate top-k: SRP band-bucket candidate join + exact cosine
     re-rank. Recall < 1 by construction; the scale path when Q x N is too
     large to brute-force. Defaults (24 planes / 8 bands of 3 bits) measure
     ~86% top-10 recall on the near-uniform driver embeddings; band
-    selectivity should grow with corpus size (more planes per band)."""
+    selectivity should grow with corpus size (more planes per band).
+
+    ``max_bucket`` caps the candidate side per (band, bucket) — a hot
+    bucket (mirrored embeddings, zero vectors) otherwise multiplies every
+    query hitting it (see dedup.cap_buckets)."""
+    from .dedup import cap_buckets
+
     rows = num_planes // bands
     mask = (1 << rows) - 1
     sigs = srp_signatures(embeddings, num_planes, id_col, vec_col, dim)
@@ -125,7 +131,7 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     qs = banded(
         sigs.join(queries.select(F.col(id_col).alias("vec_id")), "vec_id"), "q"
     )
-    cs = banded(sigs, "c")
+    cs = cap_buckets(banded(sigs, "c"), max_bucket, "c_id")
     cands = (
         F.broadcast(qs).join(cs, ["band", "bucket"])
         .where(F.col("q_id") != F.col("c_id"))
@@ -145,10 +151,14 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
 def cosine_neardup_lsh(embeddings: DataFrame, threshold: float = 0.4,
                        num_planes: int = 24, bands: int = 8,
                        id_col: str = "vec_id", vec_col: str = "embedding",
-                       dim: int = 64) -> DataFrame:
+                       dim: int = 64, max_bucket: int | None = 256) -> DataFrame:
     """Embedding near-dup pairs at scale: SRP band-bucket candidates
     (O(N x bands) shuffle, never O(N^2)) verified with exact cosine.
-    Precision 1.0 vs cosine_neardup_pairs; recall < 1 by construction."""
+    Precision 1.0 vs cosine_neardup_pairs; recall < 1 by construction.
+    ``max_bucket`` bounds the in-bucket join against viral duplicates
+    (see dedup.cap_buckets)."""
+    from .dedup import cap_buckets
+
     rows = num_planes // bands
     mask = (1 << rows) - 1
     sigs = srp_signatures(embeddings, num_planes, id_col, vec_col, dim)
@@ -163,6 +173,7 @@ def cosine_neardup_lsh(embeddings: DataFrame, threshold: float = 0.4,
             for b in range(bands)
         ])).alias("bb"),
     ).select("vec_id", "embedding", "bb.band", "bb.bucket")
+    banded = cap_buckets(banded, max_bucket, "vec_id")
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (

@@ -3,7 +3,7 @@
 __spark_entry__.queries() entry and its oracle_sql() twin at a given SF,
 compare row count, column names, and an order-insensitive value hash.
 
-Usage: python scripts/check_correctness.py [sf_dir]
+Usage: python scripts/check_correctness.py [sf_dir] [--only q1,q2,...]
 """
 
 from __future__ import annotations
@@ -38,7 +38,13 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = get_spark(master="local[8]", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -49,6 +55,8 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         sdf = fn(spark, sf_dir).toPandas()
         if name not in oracles:
             print(f"{name:20s} rows-only: {len(sdf)} rows")

@@ -61,6 +61,54 @@ class TestDedup:
         assert lsh <= exact            # precision 1.0 (verified candidates)
         assert len(lsh) >= 0.9 * len(exact)  # recall at J>=0.5
 
+    def test_viral_duplicate_bucket_guard(self, spark, docs):
+        """10,000 copies of one page must NOT send the in-bucket join
+        quadratic (10k² x 8 bands candidates). With cap_buckets the job
+        completes in O(bands x cap²) and recall on the NON-viral pairs is
+        unchanged (low ids win the cap, and base ids are lowest)."""
+        base = docs.select("doc_id", "text").where(F.col("doc_id") < 60).persist()
+        viral_text = base.where(F.col("doc_id") == 1).first()["text"]
+        viral = spark.range(10_000_000, 10_010_000).select(
+            F.col("id").alias("doc_id"), F.lit(viral_text).alias("text")
+        )
+        merged = base.unionByName(viral)
+
+        capped = dd.minhash_lsh_pairs(merged, threshold=0.5, max_bucket=32)
+        got = [(r["id_a"], r["id_b"]) for r in capped.collect()]  # completes
+        # non-viral pairs identical to the uncapped run on the base corpus
+        base_pairs = {(r["id_a"], r["id_b"]) for r in
+                      dd.minhash_lsh_pairs(base, threshold=0.5,
+                                           max_bucket=None).collect()}
+        got_base = {(a, b) for a, b in got if a < 10_000_000 and b < 10_000_000}
+        assert got_base == base_pairs
+        # viral-viral pairs bounded by the cap, not the copy count
+        viral_pairs = [(a, b) for a, b in got if a >= 10_000_000 and b >= 10_000_000]
+        assert 0 < len(viral_pairs) <= 32 * 31 // 2
+        # the viral source doc (low id) survives the cap and still matches
+        assert any(a == 1 and b >= 10_000_000 for a, b in got)
+        base.unpersist()
+
+    def test_viral_embedding_bucket_guard(self, spark, emb):
+        """Same guard on the SRP embedding path: thousands of copies of one
+        vector stay O(cap²) per bucket."""
+        base = emb.where(F.col("vec_id") < 60).persist()
+        v = base.where(F.col("vec_id") == 1).first()["embedding"]
+        viral = spark.range(10_000_000, 10_002_000).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.lit(float(x)) for x in v]).alias("embedding"),
+        )
+        merged = base.select("vec_id", "embedding").unionByName(viral)
+        capped = sim.cosine_neardup_lsh(merged, threshold=0.4, max_bucket=16)
+        got = [(r["id_a"], r["id_b"]) for r in capped.collect()]
+        base_pairs = {(r["id_a"], r["id_b"]) for r in
+                      sim.cosine_neardup_lsh(base, threshold=0.4,
+                                             max_bucket=None).collect()}
+        got_base = {(a, b) for a, b in got if a < 10_000_000 and b < 10_000_000}
+        assert got_base == base_pairs
+        viral_pairs = [(a, b) for a, b in got if a >= 10_000_000 and b >= 10_000_000]
+        assert 0 < len(viral_pairs) <= 16 * 15 // 2
+        base.unpersist()
+
     def test_simhash_identical_texts_distance_zero(self, spark):
         df = spark.createDataFrame(
             [(1, "the quick brown fox jumps over the lazy dog"),
