@@ -12,6 +12,12 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 local[32] on the same input and write throughput + scaling efficiency to
 BENCH/BASELINE.md (the sandbox stand-in for N vs 4N executors —
 BASELINE.json's north rule).
+
+--skew mode: run the same job on an EVEN corpus and on a corpus where a
+few documents are ~100x the median size (the viral-giant-PDF shape), same
+total page count. With the chunked split plan + sliced payloads, the
+skewed run should stay near the even run's wall time (flat stragglers);
+writes BENCH/SKEW.md.
 """
 
 from __future__ import annotations
@@ -189,8 +195,111 @@ match + assemble) on the same input ({SF_DIR} x{replicate},
                       "pages_per_sec_32": round(thr32, 1)}))
 
 
+def _giant_html(doc_id: int, n_pages: int) -> bytes:
+    """A deterministic n_pages-page PLP1 payload (the spec generator caps at
+    64 pages; the skew bench needs ~100x-median monsters)."""
+    import json as _json
+    import struct
+
+    from paper_layout_parser_spark import synthdata as sd
+
+    pages = []
+    for p in range(1, n_pages + 1):
+        blocks = sd.page_blocks(doc_id, ((p - 1) % 8) + 1)
+        pages.append({
+            "page_no": p, "width": sd.PAGE_W, "height": sd.PAGE_H,
+            "blocks": [
+                {"b": b["b"], "class_id": b["class_id"], "name": b["raw_name"],
+                 "conf": b["confidence"],
+                 "bbox": [b["x1"], b["y1"], b["x2"], b["y2"]], "text": b["text"]}
+                for b in blocks
+            ],
+        })
+    body = _json.dumps({"v": 1, "pages": pages}, separators=(",", ":")).encode()
+    return sd.HTML_MAGIC + struct.pack(">I", n_pages) + body
+
+
+def materialize_skewed_pages(spark, n_even_docs: int, giant_pages: int,
+                             n_giants: int, even_pages: int = 5) -> tuple[str, str]:
+    """Two pages tables with the SAME total page count: one even
+    (n_even_docs x even_pages) and one where n_giants docs carry
+    giant_pages each (the rest even)."""
+    import tempfile
+
+    from paper_layout_parser_spark import synthdata as sd
+
+    def write(rows, name):
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+        ).repartition(CPUS * 2)
+        path = os.path.join(tempfile.mkdtemp(prefix="plp_skew_"), name)
+        df.write.mode("overwrite").parquet(path)
+        return path
+
+    def row(doc_id, npages):
+        return (f"https://example.org/skew/{doc_id:08d}", None,
+                _giant_html(doc_id, npages), "", "en")
+
+    total = n_even_docs * even_pages
+    even_rows = [row(i, even_pages) for i in range(n_even_docs)]
+    giant_total = n_giants * giant_pages
+    rest = (total - giant_total) // even_pages
+    skew_rows = [row(1_000_000 + i, giant_pages) for i in range(n_giants)]
+    skew_rows += [row(i, even_pages) for i in range(rest)]
+    return write(even_rows, "even.parquet"), write(skew_rows, "skewed.parquet")
+
+
+def skew_mode() -> None:
+    """Flat-straggler check: a few 100x-median docs must not stretch the
+    wall clock (the split-plan + sliced-payload skew defense)."""
+    n_even = int(os.environ.get("SPARK_GRAFT_SKEW_DOCS", "4000"))
+    giant_pages = int(os.environ.get("SPARK_GRAFT_SKEW_GIANT", "512"))
+    n_giants = int(os.environ.get("SPARK_GRAFT_SKEW_NGIANTS", "4"))
+    spark = _fresh_spark(CPUS)
+    warm = materialize_pages(spark, "/root/testdata/sf0.001")
+    run_extraction(spark, warm)
+    even_path, skew_path = materialize_skewed_pages(
+        spark, n_even, giant_pages, n_giants
+    )
+    # best-of-2 per corpus: this box's run-to-run variance (~±20%) would
+    # otherwise swamp the straggler signal
+    even = min((run_extraction(spark, even_path) for _ in range(2)),
+               key=lambda r: r["t_doc_text"])
+    skew = min((run_extraction(spark, skew_path) for _ in range(2)),
+               key=lambda r: r["t_doc_text"])
+    spark.stop()
+    ratio = skew["t_doc_text"] / even["t_doc_text"]
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/SKEW.md", "w") as f:
+        f.write(f"""# BENCH — skewed-corpus straggler check (local[{CPUS}])
+
+Same end-to-end extraction job, same total page count; the skewed corpus
+hides {n_giants} documents of {giant_pages} pages (~{giant_pages // 5}x the
+median doc) among the rest. The chunked split plan slices each chunk's
+payload to its own pages, so giant docs fan out across the cluster instead
+of pinning one task.
+
+| corpus | docs | pages | doc_text wall (s) | pages/sec |
+|---|---|---|---|---|
+| even   | {even['n_docs']} | {even['n_pages']} | {even['t_doc_text']:.2f} | {even['n_pages'] / even['t_doc_text']:.0f} |
+| skewed | {skew['n_docs']} | {skew['n_pages']} | {skew['t_doc_text']:.2f} | {skew['n_pages'] / skew['t_doc_text']:.0f} |
+
+**skewed / even wall-time ratio = {ratio:.3f}** (flat stragglers: ~1.0;
+an unsplit giant would pin a single task at ~{giant_pages} pages x
+~6 ms/page render on one core)
+""")
+    print(json.dumps({
+        "skew_ratio": round(ratio, 3),
+        "even_pages_per_sec": round(even["n_pages"] / even["t_doc_text"], 1),
+        "skew_pages_per_sec": round(skew["n_pages"] / skew["t_doc_text"], 1),
+        "giant_pages": giant_pages, "n_giants": n_giants,
+    }))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling_mode()
+    elif "--skew" in sys.argv:
+        skew_mode()
     else:
         default_mode()

@@ -94,19 +94,19 @@ def sample_frames(df: DataFrame, n_frames: int = 4,
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows: dict[str, list] = {k: [] for k in key_cols}
-            rows["frame_no"] = []
-            rows["frame_payload"] = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row[binary_col])
-                step = max(1, len(payload) // n_frames)
-                for i in range(n_frames):
-                    for k in key_cols:
-                        rows[k].append(row[k])
-                    rows["frame_no"].append(i)
-                    rows["frame_payload"].append(
-                        payload[i * step: (i + 1) * step] or b"\x00"
-                    )
-            yield pd.DataFrame(rows)
+            # vectorized explode: each input row repeats n_frames times
+            # (pandas repeat/tile, no per-row iterrows); only the payload
+            # slice is a per-cell op, unavoidable until the real codec
+            # (which consumes the whole batch) replaces it
+            base = pdf[list(key_cols)].loc[pdf.index.repeat(n_frames)].reset_index(drop=True)
+            base["frame_no"] = np.tile(np.arange(n_frames, dtype=np.int32), len(pdf))
+            payloads = [bytes(p) for p in pdf[binary_col]]
+            steps = [max(1, len(p) // n_frames) for p in payloads]
+            base["frame_payload"] = [
+                payloads[j][i * steps[j]: (i + 1) * steps[j]] or b"\x00"
+                for j in range(len(payloads))
+                for i in range(n_frames)
+            ]
+            yield base
 
     return df.mapInPandas(run, schema=out_schema)
