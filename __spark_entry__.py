@@ -358,6 +358,35 @@ def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_neardup_lsh(_embeddings(spark, sf_dir), threshold=0.4)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: every 50th doc plays the benchmark/eval
+    corpus; training docs sharing any 3-gram with it are flagged."""
+    d = _docs(spark, sf_dir)
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    return dd.decontaminate(d, bench, n=3).select("doc_id", "contaminated")
+
+
+def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (web-corpus hygiene): noisy urls derived from
+    the documents table identically in both engines, canonicalized with
+    native parse_url ops vs the oracle's regexp twin."""
+    from paper_layout_parser_spark.functions.url import canonical_url, url_host
+
+    d = _docs(spark, sf_dir)
+    noisy = F.format_string(
+        _NOISY_URL, (F.col("doc_id") % 7).cast("int"), F.col("doc_id"),
+        F.col("doc_id"),
+    )
+    return d.select(
+        "doc_id",
+        url_host(noisy).alias("host"),
+        canonical_url(noisy).alias("canonical"),
+    )
+
+
+_NOISY_URL = "HTTP://H%d.Example.org:80/Path/%d/?utm_source=x&id=%d&utm_medium=y#frag"
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.select(
@@ -440,6 +469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "embed_neardup": q_embed_neardup,
         "embed_neardup_lsh": q_embed_neardup_lsh,
+        "decontaminate": q_decontaminate,
+        "url_canon": q_url_canon,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "token_count": q_token_count,
@@ -590,6 +621,18 @@ SELECT url, item_type, item_id, p AS page_number,
 FROM matched"""
 
 
+def _url_canon_sql() -> str:
+    from paper_layout_parser_spark.functions.url import canonical_url_sql
+
+    noisy = f"printf('{_NOISY_URL}', CAST(doc_id % 7 AS INT), doc_id, doc_id)"
+    host = ("lower(regexp_extract(u, "
+            "'^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))")
+    return f"""
+WITH n AS (SELECT doc_id, {noisy} AS u FROM documents)
+SELECT doc_id, {host} AS host, {canonical_url_sql('u')} AS canonical
+FROM n"""
+
+
 def _json_repair_sql() -> str:
     from paper_layout_parser_spark.functions.json_repair import repair_json_sql
 
@@ -730,6 +773,19 @@ FROM {_DUPES_SQL} GROUP BY text""",
         "dedup_jaccard": _jaccard_sql(0.3),
         "ann_topk": _ann_sql(),
         "embed_neardup": _neardup_sql(0.4),
+        "decontaminate": f"""
+WITH b AS (
+  SELECT DISTINCT unnest({_SHINGLES}) AS s
+  FROM (SELECT {_W} AS w FROM documents WHERE doc_id % 50 = 0)
+),
+d AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS s
+  FROM (SELECT doc_id, {_W} AS w FROM documents)
+),
+hits AS (SELECT DISTINCT d.doc_id FROM d JOIN b USING (s))
+SELECT doc_id, (doc_id IN (SELECT doc_id FROM hits)) AS contaminated
+FROM documents""",
+        "url_canon": _url_canon_sql(),
         "lang_id": _lang_sql(),
         "quality": _quality_sql(),
         "token_count": f"""

@@ -296,10 +296,48 @@ an unsplit giant would pin a single task at ~{giant_pages} pages x
     }))
 
 
+def capacity_mode() -> None:
+    """Capacity probe: ~1M pages end-to-end on local[CPUS]; per-page cost
+    must stay flat vs the sf0.1 run (no super-linear term hiding anywhere)."""
+    replicate = int(os.environ.get("SPARK_GRAFT_CAP_REPLICATE", "40"))
+    spark = _fresh_spark(CPUS)
+    warm = materialize_pages(spark, "/root/testdata/sf0.001")
+    run_extraction(spark, warm)
+    small_path = materialize_pages(spark, SF_DIR)
+    small = run_extraction(spark, small_path)
+    big_path = materialize_pages(spark, SF_DIR, replicate=replicate)
+    big = run_extraction(spark, big_path)
+    spark.stop()
+    ms_small = small["t_doc_text"] * 1000 / small["n_pages"]
+    ms_big = big["t_doc_text"] * 1000 / big["n_pages"]
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/CAPACITY.md", "w") as f:
+        f.write(f"""# BENCH — capacity probe (local[{CPUS}])
+
+Same end-to-end extraction job at 1x and {replicate}x the sf0.1 corpus;
+flat per-page cost = no super-linear term (shuffle spill, driver
+accumulation, skew) hiding between the test scale and the 10⁶-page scale.
+
+| corpus | docs | pages | doc_text wall (s) | pages/sec | ms/page |
+|---|---|---|---|---|---|
+| sf0.1 x1  | {small['n_docs']} | {small['n_pages']} | {small['t_doc_text']:.1f} | {small['n_pages'] / small['t_doc_text']:.0f} | {ms_small:.3f} |
+| sf0.1 x{replicate} | {big['n_docs']} | {big['n_pages']} | {big['t_doc_text']:.1f} | {big['n_pages'] / big['t_doc_text']:.0f} | {ms_big:.3f} |
+
+**per-page cost ratio (big/small) = {ms_big / ms_small:.3f}** (flat: ~1.0)
+""")
+    print(json.dumps({
+        "pages_big": big["n_pages"], "wall_big_s": round(big["t_doc_text"], 1),
+        "pages_per_sec_big": round(big["n_pages"] / big["t_doc_text"], 1),
+        "per_page_cost_ratio": round(ms_big / ms_small, 3),
+    }))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling_mode()
     elif "--skew" in sys.argv:
         skew_mode()
+    elif "--capacity" in sys.argv:
+        capacity_mode()
     else:
         default_mode()

@@ -1,0 +1,59 @@
+"""URL normalization column functions (web-corpus hygiene).
+
+Common-Crawl-style pipelines key everything on the url (dedup, resume,
+joins), so a canonical form matters: the same page arrives as
+``HTTP://Host.TLD:80/path/?utm_source=x`` and ``http://host.tld/path``.
+
+All native Spark SQL (``parse_url`` + array ops — whole-stage codegen);
+the DuckDB oracle mirrors the same component math with regexps, so the
+canonicalization is cross-engine checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TRACKING_PREFIX = "utm_"
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host without port."""
+    return F.lower(F.parse_url(url, F.lit("HOST")))
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form: lowercase scheme + host, port dropped, tracking
+    (``utm_*``) query params removed, fragment dropped, trailing slash
+    stripped from the path. Path case and non-tracking params preserved.
+    """
+    proto = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+    host = url_host(url)
+    path = F.regexp_replace(
+        F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")), "/+$", ""
+    )
+    q = F.parse_url(url, F.lit("QUERY"))
+    kept = F.filter(
+        F.split(q, "&"),
+        lambda x: ~F.startswith(x, F.lit(TRACKING_PREFIX)),
+    )
+    qs = F.array_join(kept, "&")
+    return F.concat(
+        proto, F.lit("://"), host, path,
+        F.when(qs.isNotNull() & (qs != ""), F.concat(F.lit("?"), qs))
+        .otherwise(F.lit("")),
+    )
+
+
+def canonical_url_sql(expr: str) -> str:
+    """DuckDB twin of canonical_url (regexp component extraction)."""
+    proto = f"lower(regexp_extract({expr}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    host = f"lower(regexp_extract({expr}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))"
+    path = (f"regexp_replace(regexp_extract({expr}, "
+            f"'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$', '')")
+    query = f"regexp_extract({expr}, '\\?([^#]*)', 1)"
+    kept = (f"list_filter(string_split({query}, '&'), "
+            f"x -> NOT starts_with(x, '{TRACKING_PREFIX}'))")
+    qs = f"array_to_string({kept}, '&')"
+    return (f"({proto} || '://' || {host} || {path} || "
+            f"CASE WHEN {qs} <> '' THEN '?' || {qs} ELSE '' END)")

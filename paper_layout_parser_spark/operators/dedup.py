@@ -30,7 +30,7 @@ DEFAULT_SHINGLE_K = 3
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text", verify: bool = False) -> DataFrame:
     """One row per distinct text: the kept (minimum) id and the copy count.
 
     The grouping key is (xxhash64(text), length(text)), NOT the raw text —
@@ -39,14 +39,33 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
     after the map-side combine. Collision odds for a 64-bit hash qualified
     by exact length are ~n²/2⁶⁵ (≈10⁻⁸ even at 10⁹ distinct docs); where
     that is not acceptable, substitute sha2(text, 256) for xxhash64 —
-    same plan shape."""
-    return docs.groupBy(
+    same plan shape.
+
+    ``verify=True`` additionally carries a second independent 128-bit
+    fingerprint (md5) through the aggregation and RAISES if any hash group
+    mixes fingerprints — an O(rows) audit for the paranoid path, still
+    never shuffling the text itself."""
+    grouped = docs.groupBy(
         F.xxhash64(F.col(text_col)).alias("__h"),
         F.length(F.col(text_col)).alias("__len"),
-    ).agg(
+    )
+    if not verify:
+        return grouped.agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        ).select("keep_id", "n_copies")
+    agg = grouped.agg(
         F.min(id_col).alias("keep_id"),
         F.count("*").alias("n_copies"),
-    ).select("keep_id", "n_copies")
+        F.countDistinct(F.md5(F.col(text_col))).alias("__n_md5"),
+    )
+    collisions = agg.where(F.col("__n_md5") > 1).count()
+    if collisions:
+        raise ValueError(
+            f"exact_dedup: {collisions} xxhash64+length group(s) mix md5 "
+            "fingerprints — rerun keyed on sha2(text, 256)"
+        )
+    return agg.select("keep_id", "n_copies")
 
 
 def cap_buckets(banded: DataFrame, max_bucket: int | None, order_col: str,
@@ -192,6 +211,40 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
         .where(jacc >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  n: int = 13, id_col: str = "doc_id", text_col: str = "text",
+                  bench_text_col: str = "text", mode: str = "flag") -> DataFrame:
+    """Train/test decontamination: mark (or drop) training documents that
+    share ANY n-gram with a benchmark/eval corpus — the n-gram-overlap
+    rule LM data pipelines apply before training (13-gram is the common
+    published choice).
+
+    Scale shape: the benchmark side is small (eval sets), so its DISTINCT
+    shingle set is broadcast; the corpus side streams through a broadcast
+    semi-join — the 100 TB training table is never shuffled. ``mode``:
+      * 'flag' — docs + boolean ``contaminated`` column (audit surface);
+      * 'drop' — contaminated docs removed (the production filter).
+    """
+    bench_sh = benchmark.select(
+        F.explode(shingles(words(F.col(bench_text_col)), n)).alias("s")
+    ).distinct()
+    doc_sh = docs.select(
+        F.col(id_col),
+        F.explode(shingles(words(F.col(text_col)), n)).alias("s"),
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "s", "left_semi")
+        .select(id_col).distinct()
+    )
+    if mode == "drop":
+        return docs.join(hits, id_col, "left_anti")
+    if mode != "flag":
+        raise ValueError(f"unknown mode {mode!r}")
+    return docs.join(
+        hits.withColumn("contaminated", F.lit(True)), id_col, "left"
+    ).withColumn("contaminated", F.coalesce(F.col("contaminated"), F.lit(False)))
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id",

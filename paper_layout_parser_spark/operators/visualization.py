@@ -1,16 +1,23 @@
-"""Visualization draw-spec generation (SURVEY P13 —
+"""Visualization rendering (SURVEY P13 / K3 —
 src/doclayout/visualization/renderer.py:53-146, styles.py:11-47,108-177).
 
 The reference draws rectangles + labels onto page images with cv2. The
-image libraries aren't in this container, so the Spark rebuild splits the
-stage the scale-correct way anyway:
+Spark rebuild splits the stage the scale-correct way:
 
-  1. ``draw_spec``  — NATIVE: per detection, the complete draw command
+  1. ``draw_spec``      — NATIVE: per detection, the complete draw command
      (color from the class palette as a literal map, label text per the
      chosen strategy, rect + label-anchor geometry). This is 99% of the
      reference renderer's logic and is pure column expressions.
-  2. rasterizing the spec onto pixels — a pandas-UDF paint step over the
-     page image binary, stubbed here (same posture as multimodal.decode).
+  2. ``paint_overlays`` — REAL pixel paint: numpy rectangle/label-bar
+     rasterization + a stdlib-zlib PNG encoder inside applyInPandas, so
+     the K3 image sink emits actual decodable PNGs with no cv2/Pillow
+     dependency. Glyph text (cv2.putText) is the one cluster-only piece —
+     the label STRING rides in the draw spec; the painter marks its anchor
+     with a color bar. The canvas is blank white here (this sandbox never
+     materializes pixmaps); compositing over the rendered page is a
+     one-line change where the raster backend is real.
+  3. ``render_overlays`` — the cv2-parity seam, kept as an explicit
+     NotImplementedError for deployments that need glyph-identical output.
 
 Color/label tables are lifted from styles.py (BGR tuples packed as a single
 int for a compact column).
@@ -100,10 +107,108 @@ def draw_spec(det: DataFrame, label_strategy: str = "class_confidence") -> DataF
     )
 
 
+def encode_png(rgb) -> bytes:
+    """Minimal PNG encoder (8-bit RGB, filter 0) from the public PNG spec —
+    stdlib struct+zlib only, so the image sink needs no external codec."""
+    import struct
+    import zlib
+
+    h, w, _ = rgb.shape
+    raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def decode_png_rgb(png: bytes):
+    """Inverse of encode_png for filter-0 RGB images (test/verification
+    helper; also reads any PNG this module writes)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, idat, w = 8, b"", 0
+    while pos < len(png):
+        (ln,) = struct.unpack(">I", png[pos:pos + 4])
+        tag = png[pos + 4:pos + 8]
+        data = png[pos + 8:pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, bit, ctype = struct.unpack(">IIBB", data[:10])
+            assert (bit, ctype) == (8, 2), "decoder handles 8-bit RGB only"
+        elif tag == b"IDAT":
+            idat += data
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    stride = 1 + 3 * w
+    rows = [raw[i * stride:(i + 1) * stride] for i in range(len(raw) // stride)]
+    assert all(r[0] == 0 for r in rows), "decoder handles filter 0 only"
+    return np.frombuffer(b"".join(r[1:] for r in rows), np.uint8).reshape(
+        len(rows), w, 3
+    )
+
+
+OVERLAY_SCHEMA = "url string, page_no int, n_boxes int, overlay_png binary"
+
+
+def paint_overlays(spec: DataFrame, page_w: int, page_h: int,
+                   scale: float = 0.25, thickness: int = 2) -> DataFrame:
+    """K3/P13 pixel paint: one PNG per page with every detection's rect
+    (palette color, renderer.py:93-117) and a filled label-anchor bar at
+    the label position (the glyph-free stand-in for cv2.putText).
+
+    applyInPandas per (url, page_no): the group is one page's detections
+    (O(10) rows); painting is vectorized numpy slicing; the PNG is
+    stdlib-encoded. ``scale`` renders at reduced resolution (overlays are
+    human-review artifacts; 0.25 keeps the sink ~16x cheaper than full res).
+    """
+    import numpy as np
+    import pandas as pd
+
+    W, H = max(1, int(page_w * scale)), max(1, int(page_h * scale))
+
+    def paint(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("det_idx")
+        img = np.full((H, W, 3), 255, np.uint8)
+        for color, x1, y1, x2, y2, ly in zip(
+            pdf["color_bgr"], pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"],
+            pdf["label_y"],
+        ):
+            c = int(color)
+            rgb = np.array([c & 0xFF, (c >> 8) & 0xFF, (c >> 16) & 0xFF],
+                           np.uint8)  # packed as b<<16|g<<8|r
+            a, b = int(x1 * scale), int(y1 * scale)
+            x, y = int(x2 * scale), int(y2 * scale)
+            a, b = max(0, min(a, W - 1)), max(0, min(b, H - 1))
+            x, y = max(a + 1, min(x, W)), max(b + 1, min(y, H))
+            t = thickness
+            img[b:min(b + t, H), a:x] = rgb            # top
+            img[max(y - t, 0):y, a:x] = rgb            # bottom
+            img[b:y, a:min(a + t, W)] = rgb            # left
+            img[b:y, max(x - t, 0):x] = rgb            # right
+            # label anchor bar (glyph-free putText stand-in)
+            lb = max(0, min(int(ly * scale), H - 2))
+            img[lb:lb + 2, a:min(a + 12, W)] = rgb
+        return pd.DataFrame({
+            "url": [pdf["url"].iloc[0]],
+            "page_no": [pdf["page_no"].iloc[0]],
+            "n_boxes": [len(pdf)],
+            "overlay_png": [encode_png(img)],
+        })
+
+    return spec.groupBy("url", "page_no").applyInPandas(paint, OVERLAY_SCHEMA)
+
+
 def render_overlays(spec_with_payload: DataFrame, strict: bool = True) -> DataFrame:
-    """The pixel paint step — requires cv2/Pillow (not in this container).
-    Kept as an explicit NotImplementedError so the draw-spec stage's output
-    contract is visible; a cluster deployment implements the paint UDF."""
+    """The cv2-parity paint seam — requires cv2/Pillow for glyph-identical
+    output (cv2.putText). ``paint_overlays`` above is the dependency-free
+    real renderer; this raise marks the only piece it can't reproduce."""
 
     def run(it):
         raise NotImplementedError(

@@ -69,6 +69,18 @@ def run_incremental_extraction(
     return q
 
 
+def stream_dedup(df: DataFrame, keys: list[str], ts_col: str = "ts",
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only inside the
+    watermark horizon, so re-delivered rows (at-least-once sources,
+    re-crawled urls) are dropped without the unbounded-state trap of plain
+    dropDuplicates on a stream. Works on batch DataFrames too (falls back
+    to plain dropDuplicates semantics inside the horizon)."""
+    df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def windowed_event_counts(events: DataFrame, window: str = "5 minutes",
                           watermark: str = "10 minutes") -> DataFrame:
     """Watermarked tumbling-window counts per event_type — works on both a

@@ -148,6 +148,33 @@ class TestStreamingIngest:
         # fully committed -> second run is a no-op
         assert run_job(spark, pages10, cat) == 0
 
+    def test_stream_dedup_bounded_state(self, spark, tmp_path):
+        """dropDuplicatesWithinWatermark: re-delivered rows inside the
+        watermark are dropped on a real stream."""
+        import os
+        import shutil
+
+        from paper_layout_parser_spark.streaming.ingest import stream_dedup
+
+        events = spark.read.parquet(f"{SF_SMALL}/events.parquet").limit(500)
+        d = str(tmp_path / "ev")
+        os.makedirs(d, exist_ok=True)
+        # the same rows delivered twice (two files)
+        events.write.mode("overwrite").parquet(d + "/a")
+        shutil.copytree(d + "/a", d + "/b")
+        stream = spark.readStream.schema(events.schema).parquet(d + "/*")
+        q = (
+            stream_dedup(stream, ["user_id", "ts", "event_type"])
+            .writeStream.outputMode("append")
+            .format("memory").queryName("dedup_out")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.sql("SELECT count(*) AS n FROM dedup_out").first()["n"]
+        expect = events.select("user_id", "ts", "event_type").distinct().count()
+        assert got == expect
+
     def test_windowed_counts_streaming_equals_batch(self, spark, tmp_path):
         from paper_layout_parser_spark.streaming.ingest import windowed_event_counts
 

@@ -30,6 +30,10 @@ class TestDedup:
         )
         got = {r["keep_id"]: r["n_copies"] for r in dd.exact_dedup(df).collect()}
         assert got == {1: 2, 3: 1}
+        # verified path: same answer, collision audit passes
+        got_v = {r["keep_id"]: r["n_copies"]
+                 for r in dd.exact_dedup(df, verify=True).collect()}
+        assert got_v == got
 
     def test_jaccard_pairs_vs_python(self, spark, docs):
         got = {(r.id_a, r.id_b): r.jaccard
@@ -60,6 +64,41 @@ class TestDedup:
                for r in dd.minhash_lsh_pairs(docs, threshold=0.5).collect()}
         assert lsh <= exact            # precision 1.0 (verified candidates)
         assert len(lsh) >= 0.9 * len(exact)  # recall at J>=0.5
+
+    def test_decontaminate_flag_and_drop(self, spark):
+        train = spark.createDataFrame(
+            [(1, "a b c d"), (2, "x y z w"), (3, "q a b c")],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+        flagged = {r["doc_id"]: r["contaminated"]
+                   for r in dd.decontaminate(train, bench, n=3).collect()}
+        assert flagged == {1: True, 2: False, 3: True}
+        kept = [r["doc_id"] for r in
+                dd.decontaminate(train, bench, n=3, mode="drop").collect()]
+        assert kept == [2]
+        # plan: the benchmark shingle set must be broadcast (corpus never
+        # shuffles for the semi-join)
+        plan = dd.decontaminate(train, bench, n=3)._jdf.queryExecution() \
+            .explainString(spark._jvm.org.apache.spark.sql.execution
+                           .ExplainMode.fromString("simple"))
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+    def test_canonical_url(self, spark):
+        from paper_layout_parser_spark.functions.url import canonical_url
+
+        df = spark.createDataFrame(
+            [("HTTP://H3.Example.org:80/Path/42/?utm_source=x&id=42&utm_medium=y#frag",),
+             ("https://a.b/",),
+             ("http://x.y/p?utm_campaign=z",)],
+            "u string",
+        )
+        got = [r["c"] for r in df.select(canonical_url(F.col("u")).alias("c")).collect()]
+        assert got == [
+            "http://h3.example.org/Path/42?id=42",
+            "https://a.b",
+            "http://x.y/p",
+        ]
 
     def test_viral_duplicate_bucket_guard(self, spark, docs):
         """10,000 copies of one page must NOT send the in-bucket join
@@ -280,6 +319,37 @@ class TestVisualization:
         )
         got = sorted(r.label for r in draw_spec(det, "numbered").collect())
         assert got == ["F1", "F2", "T1"]  # Title dropped (no annotation kind)
+
+    def test_paint_overlays_real_png(self, spark):
+        """P13/K3 pixel paint is real: the sink emits decodable PNGs with
+        the palette-colored borders at the right pixels."""
+        from paper_layout_parser_spark.operators.visualization import (
+            decode_png_rgb,
+            draw_spec,
+            paint_overlays,
+        )
+
+        det = spark.createDataFrame(
+            [("u", 1, 0, "Figure", 0.95, 100., 200., 300., 400.),
+             ("u", 2, 0, "Table", 0.9, 50., 500., 400., 700.)],
+            "url string, page_no int, det_idx int, class_name string, "
+            "confidence double, x1 double, y1 double, x2 double, y2 double",
+        )
+        spec = draw_spec(det)
+        out = paint_overlays(spec, page_w=1224, page_h=1584, scale=0.25)
+        rows = {r["page_no"]: r for r in out.collect()}
+        assert set(rows) == {1, 2} and rows[1]["n_boxes"] == 1
+        img = decode_png_rgb(bytes(rows[1]["overlay_png"]))
+        assert img.shape == (396, 306, 3)
+        # Figure border (BGR 0,255,0 -> RGB green) at the scaled top edge
+        assert tuple(img[50, 40]) == (0, 255, 0)   # (200*0.25, 160/4..) top line
+        assert tuple(img[75, 60]) == (255, 255, 255)  # interior stays blank
+        # Table page: BGR (255,0,0) -> RGB blue border
+        img2 = decode_png_rgb(bytes(rows[2]["overlay_png"]))
+        assert tuple(img2[125, 30]) == (0, 0, 255)
+        # deterministic bytes
+        again = {r["page_no"]: bytes(r["overlay_png"]) for r in out.collect()}
+        assert again[1] == bytes(rows[1]["overlay_png"])
 
 
 class TestBucketing:
