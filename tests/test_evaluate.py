@@ -135,3 +135,32 @@ def test_reproduces_published_reference_metrics(spark):
     assert got["precision"] == 0.8462
     assert got["recall"] == 0.7135
     assert got["f1"] == 0.7742
+
+
+def test_iou_tie_breaks_on_numeric_counter_not_id_string(spark):
+    """Reference semantics: on exact IoU ties the EARLIEST prediction in
+    insertion order wins. Past 99 items the %02d-formatted id widens, so
+    lexicographic order diverges ("fig_01_100" < "fig_01_20"); the
+    tie-break must use the integer counter. Only the seq-20 prediction
+    carries the caption the GT expects, so picking the wrong one flips the
+    verdict."""
+    gt_rows = [gt_row("g1", cap=CAP)]
+    pred_rows = [
+        pred_row("fig_01_100", cap=None),   # later insertion, no caption
+        pred_row("fig_01_20", cap=CAP),     # earlier insertion, right caption
+    ]
+    got, _ = run(spark, gt_rows, pred_rows)
+    r = got["g1"]
+    # numeric order picks seq 20 (earlier) -> caption matches -> correct;
+    # string order would pick "fig_01_100" -> false_negative
+    assert r["pred_has_caption"] and r["is_correct"], r
+
+    # same outcome when the caller provides the item_seq column directly
+    # (the pipeline path)
+    gt = spark.createDataFrame(gt_rows, schema=GT_SCHEMA)
+    pred = spark.createDataFrame(
+        [(*pred_rows[0], 100), (*pred_rows[1], 20)],
+        schema=PRED_SCHEMA + ", item_seq int",
+    )
+    r2 = {x["figure_id"]: x for x in compare_matches(gt, pred).collect()}["g1"]
+    assert r2["pred_has_caption"] and r2["is_correct"], r2
