@@ -35,6 +35,20 @@ STAGE_TABLES = [
 ]
 
 
+def _full_tables(out):
+    """--full adds the remaining main.py --extract sinks: the nested
+    per-doc result.json (K1) and the rendered crop images (K4)."""
+    from paper_layout_parser_spark import synthdata as sd
+    from paper_layout_parser_spark.operators.crop import crop_bounds, render_crops
+    from paper_layout_parser_spark.operators.stats import result_json
+
+    bounds = crop_bounds(out.matched, float(sd.PAGE_W), float(sd.PAGE_H))
+    return [
+        ("doc_results", result_json(out.enriched), None),
+        ("crops", render_crops(bounds, out.rasterized), "page_number"),
+    ]
+
+
 def fully_committed_urls(cat: Catalog, tables: list[str]) -> DataFrame | None:
     """urls present in EVERY table's snapshot — None when any table is
     missing entirely (then nothing counts as done)."""
@@ -47,10 +61,13 @@ def fully_committed_urls(cat: Catalog, tables: list[str]) -> DataFrame | None:
     return done
 
 
-def run_job(spark: SparkSession, pages: DataFrame, cat: Catalog) -> int:
+def run_job(spark: SparkSession, pages: DataFrame, cat: Catalog,
+            full: bool = False) -> int:
     """Process all urls not yet committed to every stage table; returns the
-    number of urls processed this run."""
-    tables = [t for t, _, _ in STAGE_TABLES]
+    number of urls processed this run. ``full`` adds the result.json and
+    crop-image sinks (the complete main.py --extract surface)."""
+    tables = [t for t, _, _ in STAGE_TABLES] + (
+        ["doc_results", "crops"] if full else [])
     done = fully_committed_urls(cat, tables)
     todo = pages if done is None else pages.join(done, "url", "left_anti")
     n_todo = todo.select("url").distinct().count()
@@ -58,8 +75,10 @@ def run_job(spark: SparkSession, pages: DataFrame, cat: Catalog) -> int:
         print("nothing pending; all inputs committed to every table")
         return 0
     out = run_pipeline(todo)
-    for table, attr, page_col in STAGE_TABLES:
-        df = getattr(out, attr)
+    stage_frames = [(t, getattr(out, attr), pc) for t, attr, pc in STAGE_TABLES]
+    if full:
+        stage_frames += _full_tables(out)
+    for table, df, page_col in stage_frames:
         # per-table left-anti: a url committed here in a crashed run (but
         # missing from a later table) must not append twice
         fresh = cat.pending_inputs(df, table, key="url")
@@ -71,15 +90,15 @@ def run_job(spark: SparkSession, pages: DataFrame, cat: Catalog) -> int:
     return n_todo
 
 
-def main(pages_path: str, warehouse: str) -> None:
+def main(pages_path: str, warehouse: str, *flags: str) -> None:
     spark = SparkSession.builder.getOrCreate()  # conf comes from spark-submit
     cat = Catalog(spark, warehouse)
     pages = (
         spark.read.table(pages_path) if "." in pages_path and "/" not in pages_path
         else spark.read.parquet(pages_path)
     )
-    run_job(spark, pages, cat)
+    run_job(spark, pages, cat, full="--full" in flags)
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], *sys.argv[3:])

@@ -119,6 +119,43 @@ def test_base64_roundtrip(spark, out):
         assert base64.standard_b64decode(enc[k]) == blob
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+RECT = st.tuples(
+    st.floats(0, 1200), st.floats(0, 1560),
+    st.floats(1, 400), st.floats(1, 400),
+).map(lambda t: (t[0], t[1], min(t[0] + t[2], 1224.0), min(t[1] + t[3], 1584.0)))
+
+
+class TestCropProperties:
+    @settings(max_examples=30, deadline=None)
+    @given(rects=st.lists(RECT, min_size=1, max_size=8),
+           padding=st.floats(0, 50))
+    def test_bounds_always_inside_page_rect(self, spark, rects, padding):
+        """Invariants from figure_extractor.py:108-142 for arbitrary boxes:
+        crop rect stays inside [0, page_rect]; padding only grows the rect
+        (up to the clamp); pixel rect is the pdf rect at dpi/72."""
+        rows = [("u", "figure", f"fig_01_{i:02d}", 1, *r)
+                for i, r in enumerate(rects)]
+        df = spark.createDataFrame(
+            rows,
+            "url string, item_type string, item_id string, page_number int, "
+            "item_x1 double, item_y1 double, item_x2 double, item_y2 double",
+        )
+        got = crop_bounds(df, 1224.0, 1584.0, padding=padding).collect()
+        rect_w, rect_h = 1224.0 * 72.0 / 200.0, 1584.0 * 72.0 / 200.0
+        zero_pad = {r["item_id"]: r for r in
+                    crop_bounds(df, 1224.0, 1584.0, padding=0.0).collect()}
+        for r in got:
+            assert 0.0 <= r["pdf_x0"] <= r["pdf_x1"] <= rect_w + 1e-4
+            assert 0.0 <= r["pdf_y0"] <= r["pdf_y1"] <= rect_h + 1e-4
+            z = zero_pad[r["item_id"]]
+            assert r["pdf_x0"] <= z["pdf_x0"] + 1e-9
+            assert r["pdf_x1"] >= z["pdf_x1"] - 1e-9
+            assert abs(r["px_x1"] - r["pdf_x1"] * 200.0 / 72.0) < 2e-2
+
+
 def test_fitz_codec_gated():
     from paper_layout_parser_spark.operators.crop import FitzCropCodec
 

@@ -148,6 +148,15 @@ class TestStreamingIngest:
         # fully committed -> second run is a no-op
         assert run_job(spark, pages10, cat) == 0
 
+        # --full: the result.json + crop sinks are still pending, so the
+        # urls are reprocessed into the two new tables WITHOUT duplicating
+        # the core tables
+        assert run_job(spark, pages10, cat, full=True) == 10
+        assert cat.read("doc_results").count() == 10
+        assert cat.read("crops").select("url").distinct().count() == 10
+        assert cat.read("doc_text").groupBy("url").count().where("count > 1").count() == 0
+        assert run_job(spark, pages10, cat, full=True) == 0
+
     def test_stream_dedup_bounded_state(self, spark, tmp_path):
         """dropDuplicatesWithinWatermark: re-delivered rows inside the
         watermark are dropped on a real stream."""
