@@ -72,7 +72,12 @@ def load_prediction_files(spark: SparkSession,
     """extraction_metadata.json / result.json files -> prediction rows in
     compare_matches shape. ``resolved`` is resolve_prediction_paths output
     (name, resolved_path non-null). The file carries no document name, so
-    the path->name association rides via input_file_name()."""
+    the path->name association rides via input_file_name().
+
+    The resolved path list is collected to the driver — bounded by the
+    BENCHMARK size (eval sets are thousands of docs, not the training
+    corpus); for corpus-scale inputs use the table-native pipeline path
+    (plans.pipeline), never per-doc JSON files."""
     rows = [(r["name"], r["resolved_path"])
             for r in resolved.where(F.col("resolved_path").isNotNull())
             .select("name", "resolved_path").collect()]

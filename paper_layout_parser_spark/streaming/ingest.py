@@ -39,23 +39,44 @@ def run_incremental_extraction(
     catalog: Catalog,
     checkpoint_dir: str,
     table: str = "doc_text",
+    tables: list[tuple[str, str, str | None]] | None = None,
     pipeline_kwargs: dict | None = None,
 ):
     """Drain all available input files through the batch pipeline, one
     micro-batch at a time, checkpointing results + lineage per batch.
-    Returns after the backlog is consumed (availableNow)."""
+    Returns after the backlog is consumed (availableNow).
+
+    ``tables`` optionally lists (table, PipelineOutputs attr, page_col)
+    stages to commit per batch — same multi-table resume contract as
+    scripts/run_extraction_job.py: a url counts as done only when present
+    in EVERY table, and each table's append is left-anti-filtered, so a
+    crash between per-table commits never leaves gaps or duplicates.
+    Default: doc_text only (backward-compatible single-surface ingest)."""
     from ..plans.pipeline import run_pipeline
 
     kwargs = pipeline_kwargs or {}
+    stage_tables = tables or [(table, "doc_text", None)]
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        # left-anti against committed keys makes re-delivered files no-ops
-        todo = catalog.pending_inputs(batch_df, table, key="url")
+        # left-anti against committed keys makes re-delivered files no-ops;
+        # gate on the INTERSECTION of all committed tables (multi-table
+        # exactly-once, like the batch job)
+        todo = batch_df
+        done = None
+        for t, _, _ in stage_tables:
+            if not catalog.exists(t):
+                done = None
+                break
+            keys = catalog.read(t).select("url").distinct()
+            done = keys if done is None else done.join(keys, "url", "left_semi")
+        if done is not None:
+            todo = batch_df.join(done, "url", "left_anti")
         if todo.limit(1).count() == 0:
             return
         out = run_pipeline(todo, **kwargs)
-        catalog.checkpoint_stage(out.doc_text, table, url_col="url",
-                                 page_col=None)
+        for t, attr, page_col in stage_tables:
+            fresh = catalog.pending_inputs(getattr(out, attr), t, key="url")
+            catalog.checkpoint_stage(fresh, t, url_col="url", page_col=page_col)
         out.enriched.unpersist()
 
     q = (

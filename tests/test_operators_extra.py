@@ -114,6 +114,32 @@ class TestStreamingIngest:
         dupes = committed.groupBy("url").count().where("count > 1").count()
         assert dupes == 0
 
+    def test_streaming_multi_table_exactly_once(self, spark, tmp_path, small_pages):
+        """The streaming ingest honors the same multi-table resume contract
+        as the batch job: both tables commit per micro-batch, and
+        re-delivered files are no-ops for BOTH."""
+        from paper_layout_parser_spark.sources.catalog import Catalog
+        from paper_layout_parser_spark.streaming.ingest import (
+            run_incremental_extraction,
+        )
+
+        pages_dir = str(tmp_path / "pages_in")
+        small_pages.limit(8).write.mode("overwrite").parquet(pages_dir)
+        cat = Catalog(spark, str(tmp_path / "wh"))
+        tables = [("doc_text", "doc_text", None),
+                  ("extracted_items", "matched", "page_number")]
+        run_incremental_extraction(spark, pages_dir, cat,
+                                   str(tmp_path / "ckpt"), tables=tables)
+        assert cat.read("doc_text").count() == 8
+        n_items = cat.read("extracted_items").count()
+        assert n_items > 0
+        # re-deliver the same rows as new files -> no duplicates anywhere
+        small_pages.limit(8).write.mode("append").parquet(pages_dir)
+        run_incremental_extraction(spark, pages_dir, cat,
+                                   str(tmp_path / "ckpt"), tables=tables)
+        assert cat.read("doc_text").count() == 8
+        assert cat.read("extracted_items").count() == n_items
+
     def test_multi_table_resume_fills_gaps_without_duplicates(
         self, spark, tmp_path, small_pages
     ):
