@@ -358,6 +358,17 @@ def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_neardup_lsh(_embeddings(spark, sf_dir), threshold=0.4)
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clustering: exact-Jaccard pairs -> connected
+    components (iterative label propagation + pointer jumping) -> one
+    cluster id (min member) per document. Oracle: DuckDB recursive CTE
+    over the same pair set — two INDEPENDENT transitive-closure
+    implementations must agree."""
+    d = _docs(spark, sf_dir)
+    pairs = dd.jaccard_pairs(d, threshold=0.3).select("id_a", "id_b")
+    return dd.duplicate_clusters(pairs, docs=d.select("doc_id"))
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test decontamination: every 50th doc plays the benchmark/eval
     corpus; training docs sharing any 3-gram with it are flagged."""
@@ -385,6 +396,30 @@ def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NOISY_URL = "HTTP://H%d.Example.org:80/Path/%d/?utm_source=x&id=%d&utm_medium=y#frag"
+
+
+_PII_SUFFIX = " contact user%d@mail-%d.example.com or +1555%07d at 10.0.%d.%d"
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: deterministic fake PII appended to each document in BOTH
+    engines, then counted and redacted; the redacted text rides as an md5
+    so the full scrub output is value-compared without shipping megabytes."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    noisy = F.concat(
+        F.col("text"),
+        F.format_string(_PII_SUFFIX, did, did % 100, did,
+                        (did % 250).cast("int"), ((did * 7) % 250).cast("int")),
+    )
+    counts = tfn.pii_counts(noisy)
+    return d.select(
+        "doc_id",
+        counts["n_email"].cast("long").alias("n_email"),
+        counts["n_ipv4"].cast("long").alias("n_ipv4"),
+        counts["n_phone"].cast("long").alias("n_phone"),
+        F.md5(tfn.redact_pii(noisy)).alias("redacted_md5"),
+    )
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -463,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crop_render": q_crop_render,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
+        "dup_clusters": q_dup_clusters,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
@@ -471,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup_lsh": q_embed_neardup_lsh,
         "decontaminate": q_decontaminate,
         "url_canon": q_url_canon,
+        "pii_redact": q_pii_redact,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "token_count": q_token_count,
@@ -619,6 +656,21 @@ SELECT url, item_type, item_id, p AS page_number,
        {px(x1)} AS px_x1,
        {px(y1)} AS px_y1
 FROM matched"""
+
+
+def _pii_sql() -> str:
+    noisy = (f"text || printf('{_PII_SUFFIX}', doc_id, doc_id % 100, doc_id, "
+             f"doc_id % 250, (doc_id * 7) % 250)")
+    cnt = lambda k: (  # noqa: E731
+        f"len(regexp_extract_all(t, '{tfn.PII_PATTERNS[k]}'))")
+    return f"""
+WITH n AS (SELECT doc_id, {noisy} AS t FROM documents)
+SELECT doc_id,
+       {cnt('email')} AS n_email,
+       {cnt('ipv4')} AS n_ipv4,
+       {cnt('phone')} AS n_phone,
+       md5({tfn.redact_pii_sql('t')}) AS redacted_md5
+FROM n"""
 
 
 def _url_canon_sql() -> str:
@@ -771,8 +823,35 @@ FROM matched GROUP BY url, item_type""",
 SELECT min(doc_id) AS keep_id, count(*) AS n_copies
 FROM {_DUPES_SQL} GROUP BY text""",
         "dedup_jaccard": _jaccard_sql(0.3),
+        "dup_clusters": f"""
+WITH RECURSIVE
+docs0 AS (SELECT doc_id, {_W} AS w FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM docs0),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS m
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN cnt ca ON ca.doc_id = id_a
+  JOIN cnt cb ON cb.doc_id = id_b
+  WHERE m::DOUBLE / (ca.n + cb.n - m) >= 0.3
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+),
+clus AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN clus c ON c.id = d.doc_id""",
         "ann_topk": _ann_sql(),
         "embed_neardup": _neardup_sql(0.4),
+        "pii_redact": _pii_sql(),
         "decontaminate": f"""
 WITH b AS (
   SELECT DISTINCT unnest({_SHINGLES}) AS s

@@ -134,3 +134,43 @@ def predicted_lang(words_col: Column) -> Column:
     for lang in sorted(scores, reverse=True):
         pred = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(pred)
     return F.when(best_score > 0, pred).otherwise(F.lit("und"))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data hygiene): patterns chosen to parse identically
+# under Java regex (Spark) and RE2 (DuckDB) — no lookaround, no backrefs.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{10,12}",
+}
+
+REDACTION_TOKENS = {k: f"[{k.upper()}]" for k in PII_PATTERNS}
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails / IPv4 addresses / international phone numbers with
+    typed redaction tokens — the pre-training scrub pass. Chained native
+    regexp_replace (codegen; order matters: emails first so their dotted
+    domains can't be half-eaten by the IP pattern)."""
+    out = text
+    for kind in ("email", "ipv4", "phone"):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], REDACTION_TOKENS[kind])
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII hit counts (audit surface for the scrub pass)."""
+    return {f"n_{k}": F.regexp_count(text, F.lit(p))
+            for k, p in PII_PATTERNS.items()}
+
+
+def redact_pii_sql(expr: str) -> str:
+    """DuckDB twin of redact_pii (global regexp_replace, same order)."""
+    out = expr
+    for kind in ("email", "ipv4", "phone"):
+        pat = PII_PATTERNS[kind].replace("'", "''")
+        out = f"regexp_replace({out}, '{pat}', '{REDACTION_TOKENS[kind]}', 'g')"
+    return out

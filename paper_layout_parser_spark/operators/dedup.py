@@ -231,6 +231,71 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
     )
 
 
+def duplicate_clusters(pairs: DataFrame, docs: DataFrame | None = None,
+                       id_col: str = "doc_id", max_iter: int = 25) -> DataFrame:
+    """Connected components over near-duplicate pairs -> (doc_id,
+    cluster_id), cluster_id = the minimum doc id of the component (the
+    kept representative). The step AFTER pair generation in a real dedup
+    pipeline: transitive duplicates (a~b, b~c) must collapse to ONE
+    representative even when (a, c) was never emitted as a pair.
+
+    Algorithm: iterative min-label propagation with POINTER JUMPING
+    (label <- label-of-label each round), so convergence is O(log diameter)
+    rounds, not O(diameter) — the distinction that matters when a viral
+    near-dup chain spans millions of docs. Each round is two equi-joins +
+    a groupBy; ``localCheckpoint`` cuts the iterative lineage so the plan
+    doesn't grow (on a cluster, checkpoint to the catalog instead). The
+    loop exits early when no label changes.
+
+    ``docs`` (optional) adds singleton rows (cluster_id = own id) for
+    documents that appear in no pair.
+    """
+    e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    edges = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("a").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy("a").agg(F.min("label").alias("nlabel"))
+        )
+        stepped = (
+            labels.join(nbr, labels["id"] == nbr["a"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"),
+                        F.coalesce("nlabel", F.col("label"))).alias("label"),
+            )
+        )
+        # pointer jumping: follow label -> label(label)
+        l2 = stepped.select(F.col("id").alias("lid"), F.col("label").alias("llabel"))
+        jumped = (
+            stepped.join(l2, stepped["label"] == l2["lid"], "left")
+            .select("id", F.coalesce("llabel", "label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n").join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label")).count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    out = labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+    if docs is not None:
+        return (
+            docs.select(id_col).join(out, id_col, "left")
+            .select(id_col,
+                    F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"))
+        )
+    return out
+
+
 def decontaminate(docs: DataFrame, benchmark: DataFrame,
                   n: int = 13, id_col: str = "doc_id", text_col: str = "text",
                   bench_text_col: str = "text", mode: str = "flag") -> DataFrame:

@@ -65,6 +65,23 @@ class TestDedup:
         assert lsh <= exact            # precision 1.0 (verified candidates)
         assert len(lsh) >= 0.9 * len(exact)  # recall at J>=0.5
 
+    def test_duplicate_clusters_transitive(self, spark):
+        """Connected components: transitive chains collapse to the minimum
+        id even for pairs never emitted directly; singletons keep their own
+        id. A 10-node chain converges via pointer jumping."""
+        chain = [(i, i + 1) for i in range(1, 10)]          # 1-2-...-10
+        extra = [(20, 21), (21, 22), (40, 41)]
+        pairs = spark.createDataFrame(chain + extra, "id_a long, id_b long")
+        docs = spark.createDataFrame([(i,) for i in
+                                      list(range(1, 11)) + [20, 21, 22, 30, 40, 41]],
+                                     "doc_id long")
+        got = {r["doc_id"]: r["cluster_id"] for r in
+               dd.duplicate_clusters(pairs, docs=docs).collect()}
+        assert all(got[i] == 1 for i in range(1, 11))
+        assert got[20] == got[21] == got[22] == 20
+        assert got[40] == got[41] == 40
+        assert got[30] == 30  # singleton
+
     def test_decontaminate_flag_and_drop(self, spark):
         train = spark.createDataFrame(
             [(1, "a b c d"), (2, "x y z w"), (3, "q a b c")],
@@ -83,6 +100,24 @@ class TestDedup:
             .explainString(spark._jvm.org.apache.spark.sql.execution
                            .ExplainMode.fromString("simple"))
         assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+    def test_redact_pii(self, spark):
+        from paper_layout_parser_spark.functions import text as tfn
+
+        df = spark.createDataFrame(
+            [("mail a.b@c.org from 192.168.1.1 call +15551234567 ok",),
+             ("clean text, no pii at all",)],
+            "t string",
+        )
+        counts = tfn.pii_counts(F.col("t"))
+        rows = df.select(
+            tfn.redact_pii(F.col("t")).alias("r"),
+            *[v.alias(k) for k, v in counts.items()],
+        ).collect()
+        assert rows[0]["r"] == "mail [EMAIL] from [IPV4] call [PHONE] ok"
+        assert (rows[0]["n_email"], rows[0]["n_ipv4"], rows[0]["n_phone"]) == (1, 1, 1)
+        assert rows[1]["r"] == "clean text, no pii at all"
+        assert rows[1]["n_email"] == 0
 
     def test_canonical_url(self, spark):
         from paper_layout_parser_spark.functions.url import canonical_url
