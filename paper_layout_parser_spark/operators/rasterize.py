@@ -88,7 +88,17 @@ def _plan_batches_factory(chunk_pages: int):
                     continue
                 # multi-chunk doc: parse ONCE, slice per chunk so each chunk
                 # row carries only its own pages through the shuffle
-                pages_list = json.loads(payload[8:])["pages"]
+                try:
+                    pages_list = json.loads(payload[8:])["pages"]
+                except Exception:  # noqa: BLE001 — C6: never fail the stage
+                    # corrupt body: ship the original bytes as one chunk so
+                    # the rasterize stage turns it into a quarantine row
+                    # (same containment path as any other bad page)
+                    urls.append(url)
+                    htmls.append(payload)
+                    starts.append(1)
+                    ends.append(total + 1)
+                    continue
                 for start in range(1, total + 1, chunk_pages):
                     end = min(start + chunk_pages, total + 1)
                     urls.append(url)

@@ -71,6 +71,9 @@ def benchmark_summary(
       * ``per_type_rows`` — evaluate.per_type_metrics rows;
       * ``per_doc_rows``  — per-url evaluation_summary rows.
     """
+    # an empty evaluation (no GT rows survive the confidence filter) rolls
+    # up to NULL sums — report zeros, like the reference's empty summary
+    rollup_row = {k: (v if v is not None else 0) for k, v in rollup_row.items()}
     by_type = {r["figure_type"]: r for r in per_type_rows}
 
     def type_metrics(t: str) -> dict:

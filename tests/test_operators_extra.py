@@ -74,6 +74,10 @@ class TestQuarantine:
         rows = [
             ("u_good", good),
             ("u_bad", sd.HTML_MAGIC + b"\x00\x00\x00\x01" + b"NOT JSON"),
+            # header claims 64 pages -> takes the multi-chunk SLICING path
+            # in plan_splits; the corrupt body must still end in quarantine,
+            # never a failed plan stage
+            ("u_bad_giant", sd.HTML_MAGIC + b"\x00\x00\x00\x40" + b"NOT JSON"),
         ]
         pages = spark.createDataFrame(rows, "url string, html binary").select(
             "url",
@@ -83,12 +87,12 @@ class TestQuarantine:
             F.lit("en").alias("lang"),
         )
         out = run_pipeline(pages)
-        q = out.quarantine.collect()
-        assert len(q) == 1 and q[0]["url"] == "u_bad"
-        assert "Error" in q[0]["error"] or "error" in q[0]["error"].lower() or q[0]["error"]
+        q = {r["url"]: r for r in out.quarantine.collect()}
+        assert set(q) == {"u_bad", "u_bad_giant"}
+        assert q["u_bad"]["error"]
         # the good doc is unaffected
         assert out.doc_text.where("url = 'u_good'").count() == 1
-        assert out.enriched.where("url = 'u_bad'").count() == 0
+        assert out.enriched.where("url LIKE 'u_bad%'").count() == 0
 
 
 class TestStreamingIngest:

@@ -132,6 +132,24 @@ class TestReportGoldens:
         ])
         assert md == expected
 
+    def test_empty_evaluation_reports_zeros(self, spark):
+        """No GT rows surviving the confidence filter must yield a zeroed
+        report, not a crash on NULL rollup sums."""
+        cmp_schema = (
+            "url string, figure_id string, figure_type string, "
+            "page_number int, cap_id string, gt_has_caption boolean, "
+            "pred_has_caption boolean, figure_iou double, caption_iou double, "
+            "is_correct boolean, error_type string"
+        )
+        empty = spark.createDataFrame([], cmp_schema)
+        summary, js, md = build_reports(empty, created_at="t0", generated_at="t0")
+        assert summary["detailed_counts"] == {"true_positives": 0,
+                                              "false_positives": 0,
+                                              "false_negatives": 0}
+        assert summary["summary"]["precision"] == 0.0
+        assert summary["document_results"] == []
+        assert "| Precision | 0.0000 |" in md
+
     def test_end_to_end_reports_from_pipeline(self, spark):
         from paper_layout_parser_spark.corpus import build_ground_truth, build_pages
         from paper_layout_parser_spark.operators.evaluate import compare_matches
