@@ -314,6 +314,26 @@ def q_crop_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crops_base64(render_crops(b, out.rasterized))
 
 
+def q_page_overlays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only (PNG bytes are encoder-specific); pytest decodes the PNGs
+    # and checks painted pixels. Restricted to every 10th doc to keep the
+    # driver pass light — the sink itself is exercised for real.
+    from paper_layout_parser_spark.operators.visualization import (
+        draw_spec,
+        paint_overlays,
+    )
+
+    _, out = _pipeline(spark, sf_dir)
+    doc_id = F.regexp_extract("url", r"([0-9]+)$", 1).cast("long")
+    spec = draw_spec(out.enriched.where(doc_id % 10 == 0))
+    ov = paint_overlays(spec, page_w=sd.PAGE_W, page_h=sd.PAGE_H)
+    return ov.select(
+        "url", F.col("page_no").cast("long").alias("page_no"), "n_boxes",
+        F.md5(F.col("overlay_png")).alias("png_md5"),
+        F.length(F.col("overlay_png")).alias("png_bytes"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(_docs_with_dupes(spark, sf_dir))
 
@@ -496,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_report": q_eval_report,
         "crop_regions": q_crop_regions,
         "crop_render": q_crop_render,
+        "page_overlays": q_page_overlays,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dup_clusters": q_dup_clusters,
