@@ -143,33 +143,25 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 32,
                        k: int = DEFAULT_SHINGLE_K) -> DataFrame:
     """doc_id + sig_0..sig_{n-1} MinHash signature columns.
 
-    Hash family: xxhash64(seed_i, shingle) — JVM-side, no Python.
+    Hash family: xxhash64(seed_i, shingle) — JVM-side, no Python. The
+    min-aggregation is map-side combinable, so the exchange carries one
+    32-column row per (task, doc), not the shingle blow-up.
 
-    Shape: per-row ``array_min(transform(shingles, ...))`` — ZERO shuffle.
-    The explode + groupBy(doc_id) formulation computes bit-identical values
-    (verified) but adds a docs×shingles row blow-up, a 32-buffer hash
-    aggregation, and an exchange stage; measured ~5% slower warm at sf0.1
-    and one full stage barrier worse in the plan. Per-element cost is the
-    xxhash64 itself (a hash-once + integer-mix family measured no faster),
-    so the HOF interpretation overhead is acceptable. Docs too short to
-    form a shingle are dropped (same semantics as the explode formulation,
-    where they produce no rows)."""
-    def hasher(seed: int):
-        # factory closure: a `lambda x, i=i` default-arg trick would be
-        # inspected by PySpark as a BINARY (element, index) lambda and
-        # silently hash with the array index instead of the seed
-        return lambda x: F.xxhash64(F.lit(seed), x)
-
-    sh = shingles(words(F.col(text_col)), k)
-    return docs.select(
-        F.col(id_col).alias("doc_id"), sh.alias("__sh")
-    ).where(F.size("__sh") > 0).select(
-        "doc_id",
-        *[
-            F.array_min(F.transform(F.col("__sh"), hasher(i))).alias(f"sig_{i}")
-            for i in range(num_hashes)
-        ],
-    )
+    Why explode + groupBy and NOT a per-row
+    ``array_min(transform(shingles, ...))``: the HOF variant computes
+    bit-identical values with no shuffle, but measured 1.4-2x SLOWER end to
+    end in ``minhash_lsh_pairs`` at sf0.1 — without an exchange the
+    computation inherits the scan's partitioning (a single-row-group
+    parquet file = ONE task doing every hash), and the downstream
+    band-bucket SELF-join loses the exchange reuse that lets both sides
+    read one computed copy. The aggregation's shuffle is the cheap,
+    reusable cut point."""
+    sh = _shingle_table(docs, id_col, text_col, k)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
