@@ -442,6 +442,17 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation funnel (lang -> quality -> dup -> decontam)
+    with per-document drop reasons — every rule's oracle twin is composed
+    into one independent SQL plan."""
+    from paper_layout_parser_spark.operators.curation import clean_corpus
+
+    d = _docs(spark, sf_dir)
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    return clean_corpus(d, benchmark=bench, lang="en", min_quality=0.5)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.select(
@@ -529,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "url_canon": q_url_canon,
         "pii_redact": q_pii_redact,
+        "corpus_filter": q_corpus_filter,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "token_count": q_token_count,
@@ -873,6 +885,27 @@ FROM documents d LEFT JOIN clus c ON c.id = d.doc_id""",
         "ann_topk": _ann_sql(),
         "embed_neardup": _neardup_sql(0.4),
         "pii_redact": _pii_sql(),
+        "corpus_filter": f"""
+WITH l AS ({_lang_sql()}),
+q AS ({_quality_sql()}),
+dup AS (SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents),
+b AS (SELECT DISTINCT unnest({_SHINGLES}) AS s
+      FROM (SELECT {_W} AS w FROM documents WHERE doc_id % 50 = 0)),
+ds AS (SELECT doc_id, unnest({_SHINGLES}) AS s
+       FROM (SELECT doc_id, {_W} AS w FROM documents)),
+hits AS (SELECT DISTINCT ds.doc_id FROM ds JOIN b USING (s)),
+r AS (
+  SELECT d0.doc_id,
+         CASE WHEN l.pred_lang <> 'en' THEN 'lang'
+              WHEN q.quality_score < 0.5 THEN 'quality'
+              WHEN dup.rn > 1 THEN 'duplicate'
+              WHEN d0.doc_id IN (SELECT doc_id FROM hits) THEN 'contaminated'
+         END AS drop_reason
+  FROM documents d0
+  JOIN l USING (doc_id) JOIN q USING (doc_id) JOIN dup USING (doc_id)
+)
+SELECT doc_id, (drop_reason IS NULL) AS keep, drop_reason FROM r""",
         "decontaminate": f"""
 WITH b AS (
   SELECT DISTINCT unnest({_SHINGLES}) AS s

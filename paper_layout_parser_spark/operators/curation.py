@@ -1,0 +1,102 @@
+"""Corpus curation pipeline: the composed cleaning pass a training-data
+build runs over raw web documents (the C4/RefinedWeb-style recipe) —
+language filter, quality filter, exact-duplicate removal, and train/test
+decontamination, in one relational plan with per-document drop reasons.
+
+Rule order (first failure wins, matching how published pipelines report
+their funnel): lang -> quality -> duplicate -> contaminated. Everything is
+native Spark SQL: lang/quality are codegen column expressions
+(functions.text), duplicate representatives come from a window over the
+narrow (xxhash64, length) key (never the raw text — see
+dedup.exact_dedup), and contamination is a broadcast n-gram semi-join
+(dedup.decontaminate), so the corpus side is scanned once and never
+shuffled by value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    predicted_lang,
+    quality_features,
+    score_from_features,
+    shingles,
+    words,
+)
+
+DEFAULT_MIN_QUALITY = 0.5
+
+
+def clean_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    lang: str = "en",
+    min_quality: float = DEFAULT_MIN_QUALITY,
+    decontam_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """docs -> (id, keep boolean, drop_reason string nullable).
+
+    drop_reason ∈ {'lang', 'quality', 'duplicate', 'contaminated'} — the
+    FIRST failing rule; NULL means the document survives the funnel.
+    ``benchmark`` enables the decontamination rule (skipped when None).
+    Apply with ``.where("keep")`` or keep the audit columns for funnel
+    reporting."""
+    text = F.col(text_col)
+    w = words(text)
+    feats = quality_features(text)
+    quality = score_from_features(
+        feats["stopword_ratio"], feats["alpha_ratio"], feats["punct_ratio"]
+    )
+    # duplicate representative: lowest id per identical text, windowed over
+    # the narrow hash key (the window shuffles 16 bytes + id, not the text)
+    dup_w = Window.partitionBy(
+        F.xxhash64(text), F.length(text)
+    ).orderBy(id_col)
+    flagged = docs.select(
+        F.col(id_col),
+        text.alias("__text"),
+        (predicted_lang(w) == lang).alias("__lang_ok"),
+        (quality >= min_quality).alias("__quality_ok"),
+        (F.row_number().over(dup_w) == 1).alias("__is_rep"),
+    )
+    if benchmark is not None:
+        bench_sh = benchmark.select(
+            F.explode(shingles(words(F.col(text_col)), decontam_n)).alias("s")
+        ).distinct()
+        hits = (
+            flagged.select(F.col(id_col),
+                           F.explode(shingles(words(F.col("__text")),
+                                              decontam_n)).alias("s"))
+            .join(F.broadcast(bench_sh), "s", "left_semi")
+            .select(id_col).distinct()
+            .withColumn("__contaminated", F.lit(True))
+        )
+        flagged = flagged.join(hits, id_col, "left").withColumn(
+            "__contaminated", F.coalesce("__contaminated", F.lit(False))
+        )
+    else:
+        flagged = flagged.withColumn("__contaminated", F.lit(False))
+
+    reason = (
+        F.when(~F.col("__lang_ok"), "lang")
+        .when(~F.col("__quality_ok"), "quality")
+        .when(~F.col("__is_rep"), "duplicate")
+        .when(F.col("__contaminated"), "contaminated")
+    )
+    return flagged.select(
+        id_col,
+        reason.isNull().alias("keep"),
+        reason.alias("drop_reason"),
+    )
+
+
+def curation_funnel(cleaned: DataFrame) -> DataFrame:
+    """Per-reason drop counts + the kept count — the funnel report every
+    cleaning run publishes (one tiny aggregate)."""
+    return cleaned.groupBy(
+        F.coalesce("drop_reason", F.lit("kept")).alias("stage")
+    ).agg(F.count("*").alias("n_docs"))

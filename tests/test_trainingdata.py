@@ -101,6 +101,39 @@ class TestDedup:
                            .ExplainMode.fromString("simple"))
         assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
 
+    def test_clean_corpus_funnel(self, spark):
+        """Every drop reason fires, in rule order (first failure wins), and
+        the funnel counts add up."""
+        from paper_layout_parser_spark.operators.curation import (
+            clean_corpus,
+            curation_funnel,
+        )
+
+        good = ("the quick brown fox jumps over the lazy dog and runs to "
+                "the old mill by the river in the morning light again")
+        rows = [
+            (1, good),                               # kept
+            (2, "le chat et le chien dans la maison avec une grande porte"),  # lang
+            (3, "the !!!!!!!!!! the ??????????"),  # english but junk -> quality
+            (4, good),                               # duplicate of 1
+            (5, good + " secret benchmark passage"),  # contaminated
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        bench = spark.createDataFrame(
+            [(99, "secret benchmark passage")], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r for r in
+               clean_corpus(docs, benchmark=bench, lang="en",
+                            min_quality=0.5).collect()}
+        assert got[1]["keep"] and got[1]["drop_reason"] is None
+        assert got[2]["drop_reason"] == "lang"
+        assert got[3]["drop_reason"] == "quality"
+        assert got[4]["drop_reason"] == "duplicate"
+        assert got[5]["drop_reason"] == "contaminated"
+        funnel = {r["stage"]: r["n_docs"] for r in
+                  curation_funnel(clean_corpus(docs, benchmark=bench)).collect()}
+        assert funnel["kept"] == 1 and sum(funnel.values()) == 5
+
     def test_redact_pii(self, spark):
         from paper_layout_parser_spark.functions import text as tfn
 
