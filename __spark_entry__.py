@@ -442,6 +442,22 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-lang profile (distinct + interpolated percentiles) — the
+    oracle twin of the HLL/GK sketch path."""
+    from paper_layout_parser_spark.operators.sketches import profile_exact
+
+    return profile_exact(_docs(spark, sf_dir))
+
+
+def q_sketch_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only (sketch results are implementation-specific); pytest bounds
+    # the error against the exact twin
+    from paper_layout_parser_spark.operators.sketches import profile_sketch
+
+    return profile_sketch(_docs(spark, sf_dir))
+
+
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation funnel (lang -> quality -> dup -> decontam)
     with per-document drop reasons — every rule's oracle twin is composed
@@ -541,6 +557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon": q_url_canon,
         "pii_redact": q_pii_redact,
         "corpus_filter": q_corpus_filter,
+        "sketch_stats": q_sketch_stats,
+        "sketch_stats_approx": q_sketch_stats_approx,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "token_count": q_token_count,
@@ -919,6 +937,12 @@ hits AS (SELECT DISTINCT d.doc_id FROM d JOIN b USING (s))
 SELECT doc_id, (doc_id IN (SELECT doc_id FROM hits)) AS contaminated
 FROM documents""",
         "url_canon": _url_canon_sql(),
+        "sketch_stats": """
+SELECT lang, count(DISTINCT n_chars) AS n_distinct,
+       quantile_cont(n_chars, 0.5) AS p50,
+       quantile_cont(n_chars, 0.9) AS p90,
+       count(*) AS n_rows
+FROM documents GROUP BY lang""",
         "lang_id": _lang_sql(),
         "quality": _quality_sql(),
         "token_count": f"""

@@ -101,6 +101,26 @@ class TestDedup:
                            .ExplainMode.fromString("simple"))
         assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
 
+    def test_sketch_profile_error_bounds(self, spark, docs):
+        """HLL distinct within the configured rsd of exact; GK percentiles
+        within rank-error of the exact interpolated values."""
+        from paper_layout_parser_spark.operators.sketches import (
+            profile_exact,
+            profile_sketch,
+        )
+
+        exact = {r["lang"]: r for r in profile_exact(docs).collect()}
+        approx = {r["lang"]: r for r in profile_sketch(docs, rsd=0.02).collect()}
+        assert set(exact) == set(approx)
+        for lang, e in exact.items():
+            a = approx[lang]
+            assert a["n_rows"] == e["n_rows"]
+            assert abs(a["n_distinct"] - e["n_distinct"]) <= max(3, 0.1 * e["n_distinct"])
+            # GK at accuracy 10000 on a few hundred rows is near-exact;
+            # allow one value-step of slack around the interpolated exact
+            assert abs(a["p50"] - e["p50"]) <= max(5.0, 0.05 * e["p50"])
+            assert abs(a["p90"] - e["p90"]) <= max(5.0, 0.05 * e["p90"])
+
     def test_clean_corpus_funnel(self, spark):
         """Every drop reason fires, in rule order (first failure wins), and
         the funnel counts add up."""
