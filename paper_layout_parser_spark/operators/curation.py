@@ -37,6 +37,7 @@ def clean_corpus(
     decontam_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    dup_hash=None,
 ) -> DataFrame:
     """docs -> (id, keep boolean, drop_reason string nullable).
 
@@ -44,7 +45,15 @@ def clean_corpus(
     FIRST failing rule; NULL means the document survives the funnel.
     ``benchmark`` enables the decontamination rule (skipped when None).
     Apply with ``.where("keep")`` or keep the audit columns for funnel
-    reporting."""
+    reporting.
+
+    The 'duplicate' rule keys on (dup_hash(text), length(text)) — default
+    xxhash64, same tradeoff as dedup.exact_dedup: a 64-bit collision
+    qualified by exact length (~n²/2⁶⁵) would silently drop one distinct
+    document as 'duplicate'. For the paranoid path pass
+    ``dup_hash=lambda c: F.sha2(c, 256)`` (identical plan shape; the window
+    key widens from 16 to 40 bytes), or run exact_dedup(verify=True) first
+    as a collision audit."""
     text = F.col(text_col)
     w = words(text)
     feats = quality_features(text)
@@ -52,9 +61,10 @@ def clean_corpus(
         feats["stopword_ratio"], feats["alpha_ratio"], feats["punct_ratio"]
     )
     # duplicate representative: lowest id per identical text, windowed over
-    # the narrow hash key (the window shuffles 16 bytes + id, not the text)
+    # the narrow hash key (the window shuffles the hash + id, not the text)
+    hash_fn = dup_hash or F.xxhash64
     dup_w = Window.partitionBy(
-        F.xxhash64(text), F.length(text)
+        hash_fn(text), F.length(text)
     ).orderBy(id_col)
     flagged = docs.select(
         F.col(id_col),

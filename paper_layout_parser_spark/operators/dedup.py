@@ -44,7 +44,9 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
     ``verify=True`` additionally carries a second independent 128-bit
     fingerprint (md5) through the aggregation and RAISES if any hash group
     mixes fingerprints — an O(rows) audit for the paranoid path, still
-    never shuffling the text itself."""
+    never shuffling the text itself. The aggregate is persisted across the
+    audit count and the returned frame (one aggregation, not two); the
+    caller may ``.unpersist()`` the result after its own action."""
     grouped = docs.groupBy(
         F.xxhash64(F.col(text_col)).alias("__h"),
         F.length(F.col(text_col)).alias("__len"),
@@ -58,9 +60,10 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
         F.min(id_col).alias("keep_id"),
         F.count("*").alias("n_copies"),
         F.countDistinct(F.md5(F.col(text_col))).alias("__n_md5"),
-    )
+    ).persist()
     collisions = agg.where(F.col("__n_md5") > 1).count()
     if collisions:
+        agg.unpersist()
         raise ValueError(
             f"exact_dedup: {collisions} xxhash64+length group(s) mix md5 "
             "fingerprints — rerun keyed on sha2(text, 256)"

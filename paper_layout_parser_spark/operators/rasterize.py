@@ -87,22 +87,32 @@ def _plan_batches_factory(chunk_pages: int):
                     ends.append(total + 1)
                     continue
                 # multi-chunk doc: parse ONCE, slice per chunk so each chunk
-                # row carries only its own pages through the shuffle
+                # row carries only its own pages through the shuffle. The
+                # WHOLE parse+slice is inside the try: a body that is valid
+                # JSON but whose page entries are malformed (header claims 64
+                # pages, body is {"pages":[1,2,3]}) raises inside
+                # _slice_chunk, not the stage. Slices buffer locally so a
+                # mid-slice failure never emits a partial chunk set.
                 try:
                     pages_list = json.loads(payload[8:])["pages"]
+                    sliced = []
+                    for start in range(1, total + 1, chunk_pages):
+                        end = min(start + chunk_pages, total + 1)
+                        sliced.append((_slice_chunk(pages_list, start, end),
+                                       start, end))
                 except Exception:  # noqa: BLE001 — C6: never fail the stage
-                    # corrupt body: ship the original bytes as one chunk so
-                    # the rasterize stage turns it into a quarantine row
-                    # (same containment path as any other bad page)
+                    # corrupt body or page entries: ship the original bytes
+                    # as ONE chunk so the rasterize stage turns it into a
+                    # quarantine row (same containment path as any other
+                    # bad page)
                     urls.append(url)
                     htmls.append(payload)
                     starts.append(1)
                     ends.append(total + 1)
                     continue
-                for start in range(1, total + 1, chunk_pages):
-                    end = min(start + chunk_pages, total + 1)
+                for chunk_payload, start, end in sliced:
                     urls.append(url)
-                    htmls.append(_slice_chunk(pages_list, start, end))
+                    htmls.append(chunk_payload)
                     starts.append(start)
                     ends.append(end)
             yield pd.DataFrame({
@@ -180,13 +190,16 @@ def _rasterize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ):
             try:
                 doc = json.loads(bytes(payload)[8:])  # skip the PLP1 header
+                # materialize the page filter inside the try: a valid-JSON
+                # body whose entries aren't page dicts (C6) must quarantine
+                # the doc chunk, not fail the task
+                in_range = [pg for pg in doc["pages"]
+                            if start <= pg["page_no"] < end]
             except Exception as exc:  # noqa: BLE001 — C6 quarantine semantics
                 emit(url, int(start), 0, 0, None, -1,
                      f"{type(exc).__name__}: {exc}")
                 continue
-            for pg in doc["pages"]:
-                if not (start <= pg["page_no"] < end):
-                    continue
+            for pg in in_range:
                 try:
                     emit(url, pg["page_no"], pg["width"], pg["height"],
                          json.dumps(pg, separators=(",", ":")).encode(),

@@ -95,12 +95,20 @@ def load_prediction_files(spark: SparkSession,
         .withColumn("__file", F.input_file_name())
     )
     path_to_name = spark.createDataFrame(rows, "name string, p string").select(
-        "name", F.concat(F.lit("file://"), F.col("p")).alias("__uri"), F.col("p")
+        "name", F.regexp_replace("p", "^/+", "/").alias("__path")
     )
-    # input_file_name() yields a URI; match on either form
+    # input_file_name() yields a percent-encoded URI (spaces, '#', '?',
+    # non-ASCII all encode), so a raw string compare silently drops those
+    # documents' predictions. Normalize natively: protect literal '+'
+    # (url_decode is form-decoding and would turn it into a space), decode
+    # the percent escapes, strip the file: scheme, collapse authority
+    # slashes ('file:///x' and 'file:/x' both mean '/x').
+    decoded = F.url_decode(F.regexp_replace("__file", r"\+", "%2B"))
+    norm = F.regexp_replace(
+        F.regexp_replace(decoded, "^file:", ""), "^/+", "/"
+    )
     raw = raw.join(
-        F.broadcast(path_to_name),
-        (F.col("__file") == F.col("__uri")) | (F.col("__file") == F.col("p")),
+        F.broadcast(path_to_name), norm == F.col("__path"),
     )
     items = raw.select(
         F.col("name").alias("url"),

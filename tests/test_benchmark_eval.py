@@ -135,3 +135,28 @@ def test_file_eval_writes_reports(spark, benchdir):
     md = open(os.path.join(outdir, "benchmark_report.md")).read()
     assert md.startswith("# Caption Matching Benchmark Report")
     assert "| Document | Precision | Recall | F1 | Status |" in md
+
+
+def test_prediction_paths_with_uri_encoding_chars(spark, tmp_path):
+    """input_file_name() percent-encodes spaces (and leaves '+' literal);
+    the path->name join must survive both instead of silently dropping the
+    document's predictions (scoring it all-FN)."""
+    from paper_layout_parser_spark.plans.evaluation import load_prediction_files
+
+    payload = {"figures": [{
+        "id": "fig_01_01", "page_number": 1,
+        "item_bbox": {"x1": 1.0, "y1": 2.0, "x2": 3.0, "y2": 4.0},
+        "caption_bbox": None,
+    }], "tables": []}
+    d = tmp_path / "with space+plus"
+    d.mkdir()
+    p = d / "extraction_metadata.json"
+    p.write_text(json.dumps(payload))
+    resolved = spark.createDataFrame(
+        [("doc with space", str(p))], "name string, resolved_path string"
+    )
+    rows = load_prediction_files(spark, resolved).collect()
+    assert len(rows) == 1
+    assert rows[0]["url"] == "doc with space"
+    assert rows[0]["item_id"] == "fig_01_01"
+    assert rows[0]["item_x1"] == 1.0

@@ -94,6 +94,33 @@ class TestQuarantine:
         assert out.doc_text.where("url = 'u_good'").count() == 1
         assert out.enriched.where("url LIKE 'u_bad%'").count() == 0
 
+    def test_valid_json_malformed_pages_quarantines(self, spark):
+        """C6 containment for the subtler corruption: the body IS valid JSON
+        but the page entries aren't page dicts. The multi-chunk slicing path
+        in plan_splits must fall back to ship-as-is and the rasterize stage
+        must quarantine the doc — never a TypeError failing the task."""
+        bad_body = json.dumps({"v": 1, "pages": [1, 2, 3]}).encode()
+        rows = [
+            ("u_good", sd.doc_html(2)),
+            # header claims 64 pages -> multi-chunk SLICING path
+            ("u_bad_entries_giant", sd.HTML_MAGIC + b"\x00\x00\x00\x40" + bad_body),
+            # header claims 1 page -> single-chunk fast path; rasterize must
+            # contain it instead
+            ("u_bad_entries_small", sd.HTML_MAGIC + b"\x00\x00\x00\x01" + bad_body),
+        ]
+        pages = spark.createDataFrame(rows, "url string, html binary").select(
+            "url",
+            F.lit("2020-01-01").cast("timestamp").alias("warc_ts"),
+            "html",
+            F.lit("").alias("text"),
+            F.lit("en").alias("lang"),
+        )
+        out = run_pipeline(pages)
+        q = {r["url"]: r for r in out.quarantine.collect()}
+        assert set(q) == {"u_bad_entries_giant", "u_bad_entries_small"}
+        assert all(r["stage"] == "rasterize" for r in q.values())
+        assert out.doc_text.where("url = 'u_good'").count() == 1
+
 
 class TestStreamingIngest:
     def test_available_now_drain_and_exactly_once(self, spark, tmp_path, small_pages):
