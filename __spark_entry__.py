@@ -163,7 +163,7 @@ def q_label_studio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from paper_layout_parser_spark.operators.export import to_percent_coords
 
     _, out = _pipeline(spark, sf_dir)
-    pct = to_percent_coords(out.matched, sd.PAGE_W, sd.PAGE_H)
+    pct = to_percent_coords(out.matched)  # per-page width/height columns
     return pct.select(
         "url", "item_id", "item_type",
         F.col("page_number").cast("long").alias("page_number"),
@@ -291,7 +291,7 @@ def q_crop_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from paper_layout_parser_spark.operators.crop import crop_bounds
 
     _, out = _pipeline(spark, sf_dir)
-    b = crop_bounds(out.matched, float(sd.PAGE_W), float(sd.PAGE_H))
+    b = crop_bounds(out.matched)  # clamps against each page's own rect
     return b.select(
         "url", "item_type", "item_id",
         F.col("page_number").cast("long").alias("page_number"),
@@ -310,7 +310,7 @@ def q_crop_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _, out = _pipeline(spark, sf_dir)
-    b = crop_bounds(out.matched, float(sd.PAGE_W), float(sd.PAGE_H))
+    b = crop_bounds(out.matched)  # clamps against each page's own rect
     return crops_base64(render_crops(b, out.rasterized))
 
 
@@ -326,7 +326,7 @@ def q_page_overlays(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, out = _pipeline(spark, sf_dir)
     doc_id = F.regexp_extract("url", r"([0-9]+)$", 1).cast("long")
     spec = draw_spec(out.enriched.where(doc_id % 10 == 0))
-    ov = paint_overlays(spec, page_w=sd.PAGE_W, page_h=sd.PAGE_H)
+    ov = paint_overlays(spec)  # canvas sized per page
     return ov.select(
         "url", F.col("page_no").cast("long").alias("page_no"), "n_boxes",
         F.md5(F.col("overlay_png")).alias("png_md5"),
@@ -667,34 +667,35 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {cos} >= {threshold}"""
 
 
-def _pct_sql(expr: str, total: float) -> str:
+def _pct_sql(expr: str, total: str) -> str:
     return sd.sql_round_half_up(f"({expr}) / {total} * 100.0", 2)
 
 
 def _label_studio_sql() -> str:
-    W, H = float(sd.PAGE_W), float(sd.PAGE_H)
+    # percentages are relative to each page's OWN pixel size (page_w/page_h
+    # columns on the matched CTE), mirroring to_percent_coords' default
     return f"""WITH {sd.matched_items_cte('documents')}
 SELECT url, item_id, item_type, p AS page_number,
-       {_pct_sql('item_x1', W)} AS x_pct,
-       {_pct_sql('item_y1', H)} AS y_pct,
-       {_pct_sql('item_x2 - item_x1', W)} AS w_pct,
-       {_pct_sql('item_y2 - item_y1', H)} AS h_pct,
-       {_pct_sql('cap_x1', W)} AS cap_x_pct,
-       {_pct_sql('cap_y1', H)} AS cap_y_pct,
-       {_pct_sql('cap_x2 - cap_x1', W)} AS cap_w_pct,
-       {_pct_sql('cap_y2 - cap_y1', H)} AS cap_h_pct
+       {_pct_sql('item_x1', 'page_w')} AS x_pct,
+       {_pct_sql('item_y1', 'page_h')} AS y_pct,
+       {_pct_sql('item_x2 - item_x1', 'page_w')} AS w_pct,
+       {_pct_sql('item_y2 - item_y1', 'page_h')} AS h_pct,
+       {_pct_sql('cap_x1', 'page_w')} AS cap_x_pct,
+       {_pct_sql('cap_y1', 'page_h')} AS cap_y_pct,
+       {_pct_sql('cap_x2 - cap_x1', 'page_w')} AS cap_w_pct,
+       {_pct_sql('cap_y2 - cap_y1', 'page_h')} AS cap_h_pct
 FROM matched"""
 
 
 def _crop_sql(dpi: float = 200.0, padding: float = 10.0) -> str:
     """Oracle for q_crop_regions — the expression shapes mirror
-    operators.crop.crop_bounds term-for-term so doubles are bit-identical."""
-    W, H = float(sd.PAGE_W), float(sd.PAGE_H)
+    operators.crop.crop_bounds term-for-term so doubles are bit-identical;
+    the clamp rect comes from each page's OWN dims (page_w/page_h)."""
     pad = f"{padding} * 72.0 / {dpi}"
     x0 = f"GREATEST(0.0, item_x1 * 72.0 / {dpi} - {pad})"
     y0 = f"GREATEST(0.0, item_y1 * 72.0 / {dpi} - {pad})"
-    x1 = f"LEAST({W} * 72.0 / {dpi}, item_x2 * 72.0 / {dpi} + {pad})"
-    y1 = f"LEAST({H} * 72.0 / {dpi}, item_y2 * 72.0 / {dpi} + {pad})"
+    x1 = f"LEAST(page_w * 72.0 / {dpi}, item_x2 * 72.0 / {dpi} + {pad})"
+    y1 = f"LEAST(page_h * 72.0 / {dpi}, item_y2 * 72.0 / {dpi} + {pad})"
     px = lambda e: sd.sql_round_half_up(f"({e}) * {dpi} / 72.0", 2)  # noqa: E731
     return f"""WITH {sd.matched_items_cte('documents')}
 SELECT url, item_type, item_id, p AS page_number,

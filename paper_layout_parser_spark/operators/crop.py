@@ -61,8 +61,8 @@ def b64(col: Column) -> Column:
 
 def crop_bounds(
     matched: DataFrame,
-    page_w: float,
-    page_h: float,
+    page_w: float | None = None,
+    page_h: float | None = None,
     dpi: float = DEFAULT_DPI,
     padding: float = DEFAULT_PADDING_PX,
 ) -> DataFrame:
@@ -74,16 +74,23 @@ def crop_bounds(
       x0 = max(0, pdf_x1 - pad); y0 = max(0, pdf_y1 - pad);
       x1 = min(page_rect_w, pdf_x2 + pad); y1 = min(page_rect_h, pdf_y2 + pad)
     where page_rect_{w,h} = page pixel dims * 72/dpi (the page rect fitz
-    reports for a page rendered at ``dpi``). The pixel rect is the same rect
-    at zoom = dpi/72 (what the re-render rasterizes).
+    reports for a page rendered at ``dpi``). The reference reads that rect
+    PER PAGE (figure_extractor.py:117-133 ``page.rect``), so the default
+    here clamps against the row's own ``width``/``height`` columns (carried
+    from the rasterized page through match_captions); pass scalar
+    ``page_w``/``page_h`` only for a corpus known to be uniform-size.
+    The pixel rect is the same rect at zoom = dpi/72 (what the re-render
+    rasterizes).
 
     All expressions keep the literal shape ``v * 72.0 / dpi`` so the DuckDB
     oracle (same shape) is bit-identical; outputs are rounded half-up at the
     serialization edge like every other surface.
     """
     pad_pdf = F.lit(padding) * PDF_BASE_DPI / dpi
-    rect_w = F.lit(page_w) * PDF_BASE_DPI / dpi
-    rect_h = F.lit(page_h) * PDF_BASE_DPI / dpi
+    w_src = F.col("width") if page_w is None else F.lit(page_w)
+    h_src = F.col("height") if page_h is None else F.lit(page_h)
+    rect_w = w_src * PDF_BASE_DPI / dpi
+    rect_h = h_src * PDF_BASE_DPI / dpi
 
     x0 = F.greatest(F.lit(0.0), pixel_to_pdf(F.col("item_x1"), dpi) - pad_pdf)
     y0 = F.greatest(F.lit(0.0), pixel_to_pdf(F.col("item_y1"), dpi) - pad_pdf)

@@ -42,11 +42,16 @@ _ASSIGN_SCHEMA = (
 
 
 def _split_items_captions(det: DataFrame) -> tuple[DataFrame, DataFrame]:
+    # per-page pixel dims ride on the item side (the crop/overlay math
+    # downstream clamps against the ITEM's page rect — figure_extractor.py
+    # :117-133 page.rect is per page, never a corpus constant)
+    dims = [c for c in ("width", "height") if c in det.columns]
     items = (
         det.where(F.col("class_name").isin(*FIGURE_CLASSES | TABLE_CLASSES))
         .select(
             "url",
             "page_no",
+            *dims,
             F.when(F.col("class_name").isin(*FIGURE_CLASSES), "figure")
             .otherwise("table")
             .alias("item_type"),
@@ -166,7 +171,8 @@ def match_captions(
     """Full matcher: candidate join -> greedy assignment -> left-join
     completion -> item ids. Returns one row per item:
 
-    url, item_type, item_id, page_number, item_x1..y2,
+    url, item_type, item_id, page_number, width/height (the item's page
+    pixel dims, when det carries them), item_x1..y2,
     cap_x1..y2 (nullable), caption_text (nullable when det carries text).
     """
     items, _ = _split_items_captions(det)
@@ -213,6 +219,7 @@ def match_captions(
         .alias("item_id"),
         F.row_number().over(w).alias("item_seq"),
         F.col("page_no").alias("page_number"),
+        *(c for c in ("width", "height") if c in matched.columns),
         "item_x1", "item_y1", "item_x2", "item_y2",
         "cap_x1", "cap_y1", "cap_x2", "cap_y2",
     ]

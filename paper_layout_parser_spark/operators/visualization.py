@@ -74,7 +74,10 @@ def draw_spec(det: DataFrame, label_strategy: str = "class_confidence") -> DataF
       * 'numbered'         — "F1" / "T2" per-page counters (annotation mode)
     """
     base = det.select(
-        "url", "page_no", "det_idx", "class_name",
+        "url", "page_no",
+        # the painter sizes each canvas from its page's own dims
+        *(c for c in ("width", "height") if c in det.columns),
+        "det_idx", "class_name",
         "x1", "y1", "x2", "y2", "confidence",
         class_color(F.col("class_name")).alias("color_bgr"),
     )
@@ -157,11 +160,17 @@ def decode_png_rgb(png: bytes):
 OVERLAY_SCHEMA = "url string, page_no int, n_boxes int, overlay_png binary"
 
 
-def paint_overlays(spec: DataFrame, page_w: int, page_h: int,
+def paint_overlays(spec: DataFrame, page_w: int | None = None,
+                   page_h: int | None = None,
                    scale: float = 0.25, thickness: int = 2) -> DataFrame:
     """K3/P13 pixel paint: one PNG per page with every detection's rect
     (palette color, renderer.py:93-117) and a filled label-anchor bar at
     the label position (the glyph-free stand-in for cv2.putText).
+
+    The canvas is sized from EACH page's own pixel dims (the reference
+    paints onto that page's rendered pixmap — renderer.py gets the image,
+    never a corpus constant): default reads the group's ``width``/``height``
+    columns; scalar overrides are for uniform-size corpora only.
 
     applyInPandas per (url, page_no): the group is one page's detections
     (O(10) rows); painting is vectorized numpy slicing; the PNG is
@@ -171,10 +180,11 @@ def paint_overlays(spec: DataFrame, page_w: int, page_h: int,
     import numpy as np
     import pandas as pd
 
-    W, H = max(1, int(page_w * scale)), max(1, int(page_h * scale))
-
     def paint(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("det_idx")
+        w_px = page_w if page_w is not None else int(pdf["width"].iloc[0])
+        h_px = page_h if page_h is not None else int(pdf["height"].iloc[0])
+        W, H = max(1, int(w_px * scale)), max(1, int(h_px * scale))
         img = np.full((H, W, 3), 255, np.uint8)
         for color, x1, y1, x2, y2, ly in zip(
             pdf["color_bgr"], pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"],

@@ -32,12 +32,36 @@ from dataclasses import dataclass
 GIANT_MOD = 101          # every 101st doc is a "giant" (skew exerciser)
 GIANT_PAGES = 64
 PAGE_W, PAGE_H = 1224, 1584   # 200-DPI US-letter-ish, like the reference
+# Mixed per-page sizes: real corpora mix letter/A4/oversize pages, and the
+# reference clamps crops/overlays against each page's OWN rect
+# (figure_extractor.py:117-133 page.rect) — a uniform-size corpus cannot
+# catch per-page-dimension bugs, so the spec varies the size per page.
+# Every variant exceeds the block-geometry extents (x<=1100, y<=1530).
+PAGE_SIZES = [
+    (PAGE_W, PAGE_H),   # US letter @ 200 DPI
+    (1240, 1754),       # A4 @ 150 DPI
+    (1654, 2339),       # A4 @ 200 DPI
+]
 URL_FMT = "https://example.org/doc/%08d"
 WARC_EPOCH = "2020-01-01 00:00:00"   # warc_ts = epoch + doc_id seconds
 
 
 def n_pages(doc_id: int) -> int:
     return GIANT_PAGES if doc_id % GIANT_MOD == 0 else 1 + (doc_id % 8)
+
+
+def page_dims(doc_id: int, p: int) -> tuple[int, int]:
+    """Per-page (width, height) in pixels — deterministic size variant."""
+    return PAGE_SIZES[(doc_id * 7 + p * 3) % 3]
+
+
+def page_dims_sql(w_alias: str = "w", h_alias: str = "h") -> str:
+    """SQL twin of page_dims for the ``ps`` CTE (columns doc_id, p)."""
+    sel = "(doc_id * 7 + p * 3) % 3"
+    ws = " ".join(f"WHEN {i} THEN {wh[0]}" for i, wh in enumerate(PAGE_SIZES))
+    hs = " ".join(f"WHEN {i} THEN {wh[1]}" for i, wh in enumerate(PAGE_SIZES))
+    return (f"CASE {sel} {ws} END AS {w_alias}, "
+            f"CASE {sel} {hs} END AS {h_alias}")
 
 
 def scenario(doc_id: int, p: int) -> int:
@@ -104,6 +128,11 @@ FAMILIES: list[Family] = [
     Family(9, 8, "Formula", ("eq", 8), {None: (200, 800, 500, 860)}),
     Family(10, 9, "Formula-caption", ("eq", 8), {None: (200, 870, 500, 900)}),
     Family(11, 2, "Abandon", ("eq", 9), {None: (100, 1500, 1100, 1530)}),  # boilerplate
+    # near-edge uncaptioned figure: its padded crop rect clamps at 0 on the
+    # left AND at the page rect on the right/bottom — but ONLY on the
+    # smallest page-size variant, so the crop_regions oracle actually
+    # proves the per-page clamp (a uniform-size corpus can't)
+    Family(12, 3, "Figure", ("eq", 6), {None: (8, 1250, 1220, 1575)}),
 ]
 
 FIGURE_CLASSES = {"Figure"}
@@ -173,8 +202,8 @@ def doc_pages(doc_id: int) -> list[dict]:
     return [
         {
             "page_no": p,
-            "width": PAGE_W,
-            "height": PAGE_H,
+            "width": page_dims(doc_id, p)[0],
+            "height": page_dims(doc_id, p)[1],
             "blocks": page_blocks(doc_id, p),
         }
         for p in range(1, n_pages(doc_id) + 1)
@@ -263,13 +292,13 @@ def detections_cte(docs_table: str = "documents") -> str:
     """WITH-clause body regenerating the per-page detections purely in SQL.
 
     Exposes CTE ``det`` with columns:
-      doc_id, url, p (page_no), s, b, class_id, class_name,
-      x1, y1, x2, y2, confidence, txt
+      doc_id, url, p (page_no), s, w, h (per-page pixel dims), b, class_id,
+      class_name, x1, y1, x2, y2, confidence, txt
     """
     family_selects = []
     for fam in FAMILIES:
         sel = (
-            "SELECT doc_id, url, p, s, "
+            "SELECT doc_id, url, p, s, w, h, "
             f"{fam.b} AS b, {fam.class_id} AS class_id, "
             f"'{fam.norm_name}' AS class_name, "
             f"{_geom_sql(fam, 0)} AS x1, {_geom_sql(fam, 1)} AS y1, "
@@ -290,13 +319,15 @@ pagelist AS (
     SELECT doc_id, url, unnest(generate_series(1, npages)) AS p FROM docs
 ),
 ps AS (
-    SELECT doc_id, url, p, (doc_id * 131 + p * 17) % 10 AS s FROM pagelist
+    SELECT doc_id, url, p, (doc_id * 131 + p * 17) % 10 AS s,
+           {page_dims_sql()}
+    FROM pagelist
 ),
 det_raw AS (
 {union}
 ),
 det AS (
-    SELECT doc_id, url, p, s, b, class_id, class_name, x1, y1, x2, y2,
+    SELECT doc_id, url, p, s, w, h, b, class_id, class_name, x1, y1, x2, y2,
            (8 + ((doc_id * 13 + p * 7 + b * 3) % 8)) / 16.0 AS confidence,
            printf('%s d%d p%d b%d', lower(class_name), doc_id, p, b) AS txt
     FROM det_raw
@@ -321,7 +352,7 @@ def matched_items_cte(docs_table: str = "documents") -> str:
     )
     return f"""{base},
 items AS (
-    SELECT doc_id, url, p, b, x1, y1, x2, y2,
+    SELECT doc_id, url, p, w, h, b, x1, y1, x2, y2,
            CASE WHEN class_name = 'Figure' THEN 'figure' ELSE 'table' END AS item_type
     FROM det WHERE class_name IN ('Figure', 'Table')
 ),
@@ -331,7 +362,7 @@ captions AS (
     FROM det WHERE class_name IN ('Figure-Caption', 'Table-Caption')
 ),
 matched AS (
-    SELECT i.doc_id, i.url, i.p, i.item_type,
+    SELECT i.doc_id, i.url, i.p, i.w AS page_w, i.h AS page_h, i.item_type,
            printf(CASE WHEN i.item_type = 'figure' THEN 'fig_%02d_%02d'
                        ELSE 'table_%02d_%02d' END,
                   i.p,

@@ -38,11 +38,10 @@ STAGE_TABLES = [
 def _full_tables(out):
     """--full adds the remaining main.py --extract sinks: the nested
     per-doc result.json (K1) and the rendered crop images (K4)."""
-    from paper_layout_parser_spark import synthdata as sd
     from paper_layout_parser_spark.operators.crop import crop_bounds, render_crops
     from paper_layout_parser_spark.operators.stats import result_json
 
-    bounds = crop_bounds(out.matched, float(sd.PAGE_W), float(sd.PAGE_H))
+    bounds = crop_bounds(out.matched)  # clamps against each page's own rect
     return [
         ("doc_results", result_json(out.enriched), None),
         ("crops", render_crops(bounds, out.rasterized), "page_number"),

@@ -68,6 +68,43 @@ def test_bounds_match_reference_math(spark):
     assert got["table_01_01"]["pdf_x1"] == pytest.approx(1224.0 * 72.0 / 200.0)
 
 
+def test_bounds_clamp_per_page_rect(spark):
+    """Default (no scalar dims): the SAME bbox on pages of different sizes
+    clamps against each page's own rect — figure_extractor.py:117-133 reads
+    page.rect per page, never a corpus constant."""
+    bbox = (1150.0, 1500.0, 1220.0, 1575.0)
+    rows = [
+        ("u", "figure", "fig_01_01", 1, 1224, 1584, *bbox),   # clamps
+        ("u", "figure", "fig_02_01", 2, 1654, 2339, *bbox),   # doesn't
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, item_type string, item_id string, page_number int, "
+        "width int, height int, "
+        "item_x1 double, item_y1 double, item_x2 double, item_y2 double",
+    )
+    got = {r["item_id"]: r for r in crop_bounds(df).collect()}
+    for iid, (w, h) in (("fig_01_01", (1224, 1584)), ("fig_02_01", (1654, 2339))):
+        exp = _ref_crop(bbox, float(w), float(h))
+        for k, e in zip(("pdf_x0", "pdf_y0", "pdf_x1", "pdf_y1"), exp):
+            assert abs(got[iid][k] - e) < 1e-9, (iid, k)
+    # the two pages disagree exactly where the small page's rect binds
+    assert got["fig_01_01"]["pdf_x1"] == pytest.approx(1224.0 * 72.0 / 200.0)
+    assert got["fig_01_01"]["pdf_y1"] == pytest.approx(1584.0 * 72.0 / 200.0)
+    assert got["fig_02_01"]["pdf_x1"] == pytest.approx(1220.0 * 72.0 / 200.0 + 3.6)
+    assert got["fig_02_01"]["pdf_y1"] == pytest.approx(1575.0 * 72.0 / 200.0 + 3.6)
+
+
+def test_pipeline_corpus_mixes_page_sizes(out):
+    """The synthetic corpus itself exercises the per-page path: matched rows
+    carry width/height and more than one distinct page size flows into the
+    default crop_bounds."""
+    dims = {(r["width"], r["height"])
+            for r in out.matched.select("width", "height").distinct().collect()}
+    assert len(dims) >= 2
+    assert dims <= set(sd.PAGE_SIZES)
+
+
 def test_normalized_to_pixel_truncates_like_reference(spark):
     # annotator.py:461-483 uses int() truncation: 999 * 1224 / 1000 = 1222.776 -> 1222
     df = spark.createDataFrame([(999.0,), (500.0,), (1.0,), (0.0,)], "v double")

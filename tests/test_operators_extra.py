@@ -40,7 +40,9 @@ class TestDocumentResult:
         spec = sd.page_blocks(1, 1)
         assert p1["num_detections"] == len(spec)
         assert [d["class_name"] for d in p1["detections"]] == [b["class_name"] for b in spec]
-        assert p1["image_size"]["width"] == sd.PAGE_W
+        # image_size is per page (the corpus mixes page sizes)
+        assert p1["image_size"]["width"] == sd.page_dims(1, 1)[0]
+        assert p1["image_size"]["height"] == sd.page_dims(1, 1)[1]
         stats = r["statistics"]
         n_total = sum(len(sd.page_blocks(1, p)) for p in range(1, sd.n_pages(1) + 1))
         assert stats["total_detections"] == n_total

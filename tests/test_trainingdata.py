@@ -439,6 +439,27 @@ class TestVisualization:
         again = {r["page_no"]: bytes(r["overlay_png"]) for r in out.collect()}
         assert again[1] == bytes(rows[1]["overlay_png"])
 
+    def test_paint_overlays_per_page_canvas(self, spark):
+        """Default (no scalar dims): each page's canvas is sized from its OWN
+        width/height columns — mixed-size corpora must not share one rect."""
+        from paper_layout_parser_spark.operators.visualization import (
+            decode_png_rgb,
+            draw_spec,
+            paint_overlays,
+        )
+
+        det = spark.createDataFrame(
+            [("u", 1, 1224, 1584, 0, "Figure", 0.95, 100., 200., 300., 400.),
+             ("u", 2, 1654, 2339, 0, "Table", 0.9, 50., 500., 400., 700.)],
+            "url string, page_no int, width int, height int, det_idx int, "
+            "class_name string, confidence double, "
+            "x1 double, y1 double, x2 double, y2 double",
+        )
+        out = paint_overlays(draw_spec(det), scale=0.25)
+        rows = {r["page_no"]: r for r in out.collect()}
+        assert decode_png_rgb(bytes(rows[1]["overlay_png"])).shape == (396, 306, 3)
+        assert decode_png_rgb(bytes(rows[2]["overlay_png"])).shape == (584, 413, 3)
+
 
 class TestBucketing:
     def test_bucketed_join_is_exchange_free(self, spark, docs):
