@@ -301,23 +301,35 @@ def q_crop_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_crop_render(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only (the crop binary is codec-specific); pytest asserts the stub
-    # codec's determinism and the base64 round-trip
+    """K4 render sink, oracle-checked on its engine-independent projection:
+    the renderer RUNS (the mapInPandas paint is not prunable) and the
+    rendered crop's pixel dimensions are pure geometry DuckDB recomputes.
+    The crop binary itself is codec-specific — pytest asserts the stub
+    codec's determinism and the base64 round-trip instead."""
     from paper_layout_parser_spark.operators.crop import (
         crop_bounds,
-        crops_base64,
         render_crops,
     )
 
     _, out = _pipeline(spark, sf_dir)
     b = crop_bounds(out.matched)  # clamps against each page's own rect
-    return crops_base64(render_crops(b, out.rasterized))
+    crops = render_crops(b, out.rasterized)
+    return crops.select(
+        "url", "item_type", "item_id",
+        F.col("page_number").cast("long").alias("page_number"),
+        F.col("crop_w").cast("long").alias("crop_w"),
+        F.col("crop_h").cast("long").alias("crop_h"),
+        (F.length("crop") > 0).alias("rendered"),
+    )
 
 
 def q_page_overlays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only (PNG bytes are encoder-specific); pytest decodes the PNGs
-    # and checks painted pixels. Restricted to every 10th doc to keep the
-    # driver pass light — the sink itself is exercised for real.
+    """K3 image sink, oracle-checked on its engine-independent projection:
+    the painter RUNS (one real PNG per page; applyInPandas output is not
+    prunable) and per-page box counts + decoded canvas dims are geometry
+    DuckDB recomputes. PNG bytes are encoder-specific — pytest decodes them
+    and checks painted pixels. Restricted to every 10th doc to keep the
+    driver pass light."""
     from paper_layout_parser_spark.operators.visualization import (
         draw_spec,
         paint_overlays,
@@ -328,9 +340,11 @@ def q_page_overlays(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = draw_spec(out.enriched.where(doc_id % 10 == 0))
     ov = paint_overlays(spec)  # canvas sized per page
     return ov.select(
-        "url", F.col("page_no").cast("long").alias("page_no"), "n_boxes",
-        F.md5(F.col("overlay_png")).alias("png_md5"),
-        F.length(F.col("overlay_png")).alias("png_bytes"),
+        "url", F.col("page_no").cast("long").alias("page_no"),
+        F.col("n_boxes").cast("long").alias("n_boxes"),
+        F.col("canvas_w").cast("long").alias("canvas_w"),
+        F.col("canvas_h").cast("long").alias("canvas_h"),
+        (F.length(F.col("overlay_png")) > 0).alias("rendered"),
     )
 
 
@@ -710,6 +724,31 @@ SELECT url, item_type, item_id, p AS page_number,
 FROM matched"""
 
 
+def _crop_render_sql() -> str:
+    """Oracle for q_crop_render's engine-independent projection: the crop's
+    pixel dims are int-truncated (= floor, values non-negative) deltas of
+    the SAME rounded px rect the crop_regions oracle proves bit-identical."""
+    return f"""
+SELECT url, item_type, item_id, page_number,
+       GREATEST(0, CAST(floor(px_x1 - px_x0) AS BIGINT)) AS crop_w,
+       GREATEST(0, CAST(floor(px_y1 - px_y0) AS BIGINT)) AS crop_h,
+       TRUE AS rendered
+FROM ({_crop_sql()})"""
+
+
+def _page_overlays_sql() -> str:
+    """Oracle for q_page_overlays' engine-independent projection: per-page
+    box counts + the painter's canvas dims (max(1, int(dim * scale)),
+    truncation = floor on non-negative dyadic 0.25 products)."""
+    return f"""WITH {sd.detections_cte('documents')}
+SELECT url, p AS page_no, count(*) AS n_boxes,
+       GREATEST(1, CAST(floor(max(w) * 0.25) AS BIGINT)) AS canvas_w,
+       GREATEST(1, CAST(floor(max(h) * 0.25) AS BIGINT)) AS canvas_h,
+       TRUE AS rendered
+FROM det WHERE doc_id % 10 = 0
+GROUP BY url, p"""
+
+
 def _pii_sql() -> str:
     noisy = (f"text || printf('{_PII_SUFFIX}', doc_id, doc_id % 100, doc_id, "
              f"doc_id % 250, (doc_id * 7) % 250)")
@@ -826,6 +865,8 @@ SELECT url, max(npages) AS total_pages, count(*) AS total_detections,
 FROM (SELECT det.*, d.npages FROM det JOIN docs d USING (doc_id))
 GROUP BY url""",
         "crop_regions": _crop_sql(),
+        "crop_render": _crop_render_sql(),
+        "page_overlays": _page_overlays_sql(),
         "label_studio": _label_studio_sql(),
         "json_repair": _json_repair_sql(),
         "sessionize": _SESSIONIZE_SQL,
@@ -956,7 +997,9 @@ WITH d AS (SELECT doc_id, text, {_W} AS w FROM documents)
 SELECT doc_id, md5(text) AS full_md5,
        list_min([md5(s) for s in {_SHINGLES}]) AS min_shingle_md5
 FROM d""",
-        # dedup_minhash_lsh / simhash_pairs / ann_lsh: intentionally omitted
-        # (engine-specific hash families / approximate recall) -> rows-only
-        # driver check; pytest asserts recall vs the exact twins.
+        # dedup_minhash_lsh / simhash_pairs / ann_lsh / embed_neardup_lsh /
+        # sketch_stats_approx: intentionally omitted (engine-specific hash
+        # families / approximate recall / sketch internals) -> rows-only
+        # driver check; pytest bounds each against its exact twin.
+        # eval_report: rendered-artifact formatting -> golden-shape pytest.
     }

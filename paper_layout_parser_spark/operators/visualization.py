@@ -157,7 +157,8 @@ def decode_png_rgb(png: bytes):
     )
 
 
-OVERLAY_SCHEMA = "url string, page_no int, n_boxes int, overlay_png binary"
+OVERLAY_SCHEMA = ("url string, page_no int, n_boxes int, "
+                  "canvas_w int, canvas_h int, overlay_png binary")
 
 
 def paint_overlays(spec: DataFrame, page_w: int | None = None,
@@ -209,6 +210,8 @@ def paint_overlays(spec: DataFrame, page_w: int | None = None,
             "url": [pdf["url"].iloc[0]],
             "page_no": [pdf["page_no"].iloc[0]],
             "n_boxes": [len(pdf)],
+            "canvas_w": [W],
+            "canvas_h": [H],
             "overlay_png": [encode_png(img)],
         })
 
