@@ -23,26 +23,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def summary_with_documents(doc_stats_df: DataFrame) -> DataFrame:
+DEFAULT_MAX_EMBEDDED_DOCS = 100_000
+
+
+def summary_with_documents(
+    doc_stats_df: DataFrame,
+    max_documents: int = DEFAULT_MAX_EMBEDDED_DOCS,
+) -> DataFrame:
     """A5: the global rollup (stats.summary_report) PLUS the per-document
     array of (url, total_pages, total_detections, average_detections_per_page)
     sorted by url — the reference summary's ``documents`` list
     (result_processor.py:169-211). One output row.
 
-    The fold is a single final collect_list over 1 row/document, AFTER the
-    per-doc aggregation — map-side combinable everywhere that matters."""
+    SCALE CONTRACT: the embedded array is a BENCHMARK-scale artifact
+    (the reference folds its whole eval set into one report). At corpus
+    scale a single row holding 10⁹ structs breaks (2 GB row limit /
+    driver collect downstream), so the embedded list is capped at the
+    FIRST ``max_documents`` urls — capped with a distributed top-N
+    (orderBy+limit plans as TakeOrderedAndProject; the fold only ever sees
+    ≤ max_documents rows, so no unbounded state exists anywhere in the
+    plan). The scalar totals always cover ALL documents; for corpus-scale
+    per-doc output keep the relational doc_stats table instead of the
+    embedded array."""
     from ..functions.geometry import round_half_up
 
-    return doc_stats_df.agg(
+    totals = doc_stats_df.agg(
         F.count("*").alias("total_documents"),
         F.sum("total_pages").alias("total_pages"),
         F.sum("total_detections").alias("total_detections"),
-        F.array_sort(
-            F.collect_list(F.struct(
-                "url", "total_pages", "total_detections",
-                "average_detections_per_page",
-            ))
-        ).alias("documents"),
     ).select(
         "total_documents",
         "total_pages",
@@ -51,8 +59,20 @@ def summary_with_documents(doc_stats_df: DataFrame) -> DataFrame:
                round_half_up(F.col("total_detections") / F.col("total_pages"), 2))
         .otherwise(F.lit(0.0))
         .alias("average_detections_per_page"),
-        "documents",
     )
+    folded = (
+        doc_stats_df.orderBy("url").limit(max_documents)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(
+                    "url", "total_pages", "total_detections",
+                    "average_detections_per_page",
+                ))
+            ).alias("documents"),
+        )
+    )
+    # both sides are exactly one row; the cross join is a literal append
+    return totals.crossJoin(folded)
 
 
 def benchmark_summary(
@@ -63,13 +83,16 @@ def benchmark_summary(
     dataset_version: str = "1.0.0",
     evaluator_config: dict | None = None,
     created_at: str = "",
+    n_evaluated: int | None = None,
 ) -> dict:
     """Assemble the reference's BenchmarkSummary.to_dict shape
     (batch.py:66-91) from collected rollup rows:
 
       * ``rollup_row``    — one evaluate.batch_rollup row (as dict);
       * ``per_type_rows`` — evaluate.per_type_metrics rows;
-      * ``per_doc_rows``  — per-url evaluation_summary rows.
+      * ``per_doc_rows``  — per-url evaluation_summary rows (possibly a
+        capped prefix; pass ``n_evaluated`` so successful_evaluations still
+        reports the full count).
     """
     # an empty evaluation (no GT rows survive the confidence filter) rolls
     # up to NULL sums — report zeros, like the reference's empty summary
@@ -86,7 +109,9 @@ def benchmark_summary(
         "dataset": {"name": dataset_name, "version": dataset_version},
         "summary": {
             "total_documents": int(rollup_row["total_documents"]),
-            "successful_evaluations": len(per_doc_rows),
+            "successful_evaluations": (
+                n_evaluated if n_evaluated is not None else len(per_doc_rows)
+            ),
             "precision": rollup_row["precision"],
             "recall": rollup_row["recall"],
             "f1": rollup_row["f1"],
@@ -211,19 +236,32 @@ def build_reports(
     evaluator_config: dict | None = None,
     created_at: str = "",
     generated_at: str = "",
+    max_documents: int = DEFAULT_MAX_EMBEDDED_DOCS,
 ) -> tuple[dict, str, str]:
     """Convenience: comparisons DF -> (summary dict, json report, markdown
-    report). The only driver-side work is collecting the (tiny) rollup rows."""
+    report).
+
+    SCALE CONTRACT: the per-document table in the rendered report is a
+    BENCHMARK-scale artifact; the driver collect of per-doc rows is capped
+    at the first ``max_documents`` urls (distributed top-N, so neither the
+    shuffle nor the driver ever holds more). ``successful_evaluations`` and
+    every aggregate metric still cover ALL documents — only the rendered
+    per-doc listing truncates. For corpus-scale per-doc output, persist
+    evaluation_summary(per_url=True) as a table instead."""
     from .evaluate import batch_rollup, evaluation_summary, per_type_metrics
 
     per_doc = evaluation_summary(comparisons, per_url=True)
     rollup = batch_rollup(per_doc).first().asDict()
     per_type = [r.asDict() for r in per_type_metrics(comparisons).collect()]
-    per_doc_rows = [r.asDict() for r in per_doc.collect()]
+    n_evaluated = per_doc.count()
+    per_doc_rows = [
+        r.asDict() for r in per_doc.orderBy("url").limit(max_documents).collect()
+    ]
     summary = benchmark_summary(
         rollup, per_type, per_doc_rows,
         dataset_name=dataset_name, dataset_version=dataset_version,
         evaluator_config=evaluator_config, created_at=created_at,
+        n_evaluated=n_evaluated,
     )
     return summary, render_json_report(summary), render_markdown_report(
         summary, generated_at

@@ -193,6 +193,43 @@ class TestSummaryDocuments:
         assert row["total_detections"] == sum(d["total_detections"] for d in docs)
         out.enriched.unpersist()
 
+    def test_embedded_list_cap_bounds_the_fold(self, spark):
+        """SCALE CONTRACT: with many documents, the embedded array truncates
+        to the first max_documents urls while the scalar totals still cover
+        everything — and the cap plans as a distributed top-N, never a
+        global sort of the whole per-doc table."""
+        from paper_layout_parser_spark.operators.report import build_reports
+
+        doc_stats = spark.createDataFrame(
+            [(f"u{i:05d}", i % 7 + 1, (i % 7 + 1) * 3, 3.0) for i in range(500)],
+            "url string, total_pages long, total_detections long, "
+            "average_detections_per_page double",
+        )
+        row = summary_with_documents(doc_stats, max_documents=5).first()
+        assert row["total_documents"] == 500           # totals: ALL docs
+        assert row["total_detections"] == sum((i % 7 + 1) * 3 for i in range(500))
+        assert [d["url"] for d in row["documents"]] == [
+            f"u{i:05d}" for i in range(5)              # embedded: first 5 urls
+        ]
+        plan = (
+            doc_stats.orderBy("url").limit(5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan, plan[:800]
+
+        # build_reports: rendered per-doc table truncates, metrics do not
+        cmp_df = spark.createDataFrame(
+            [(f"u{i:05d}", f"f{i}", "figure", 1, f"c{i}", True, True, True, None)
+             for i in range(40)],
+            "url string, figure_id string, figure_type string, "
+            "page_number int, cap_id string, gt_has_caption boolean, "
+            "pred_has_caption boolean, is_correct boolean, error_type string",
+        )
+        summary, _, _ = build_reports(cmp_df, created_at="t0",
+                                      generated_at="t0", max_documents=3)
+        assert len(summary["document_results"]) == 3
+        assert summary["summary"]["successful_evaluations"] == 40
+
 
 class TestManifest:
     def test_roundtrip(self, spark, tmp_path):
