@@ -33,6 +33,29 @@ def stream_pages(spark: SparkSession, pages_dir: str) -> DataFrame:
     )
 
 
+def _bootstrap_key_tables(catalog: Catalog, stage_tables, committed_table: str,
+                          inflight_table: str) -> None:
+    """One-time migration for a warehouse written before key tracking:
+    derive committed (INTERSECTION of stage-table urls — the multi-table
+    exactly-once contract) and inflight (UNION — anything any table has
+    seen) from the stage tables themselves. Runs once per job start, never
+    per micro-batch."""
+    if catalog.exists(committed_table) or catalog.exists(inflight_table):
+        return
+    existing = [t for t, _, _ in stage_tables if catalog.exists(t)]
+    if not existing:
+        return
+    union = None
+    inter = None
+    for t in existing:
+        keys = catalog.read(t).select("url").distinct()
+        union = keys if union is None else union.unionByName(keys).distinct()
+        inter = keys if inter is None else inter.join(keys, "url", "left_semi")
+    catalog.append(union, inflight_table)
+    if len(existing) == len(stage_tables):
+        catalog.append(inter, committed_table)
+
+
 def run_incremental_extraction(
     spark: SparkSession,
     pages_dir: str,
@@ -41,6 +64,7 @@ def run_incremental_extraction(
     table: str = "doc_text",
     tables: list[tuple[str, str, str | None]] | None = None,
     pipeline_kwargs: dict | None = None,
+    committed_table: str | None = None,
 ):
     """Drain all available input files through the batch pipeline, one
     micro-batch at a time, checkpointing results + lineage per batch.
@@ -48,36 +72,65 @@ def run_incremental_extraction(
 
     ``tables`` optionally lists (table, PipelineOutputs attr, page_col)
     stages to commit per batch — same multi-table resume contract as
-    scripts/run_extraction_job.py: a url counts as done only when present
-    in EVERY table, and each table's append is left-anti-filtered, so a
-    crash between per-table commits never leaves gaps or duplicates.
-    Default: doc_text only (backward-compatible single-surface ingest)."""
+    scripts/run_extraction_job.py. Default: doc_text only.
+
+    Exactly-once bookkeeping is O(keys), never O(committed corpus) per
+    batch: two compact url-only tables ride next to the stage tables —
+
+      * ``<committed_table>`` — urls committed to EVERY stage table;
+        the per-batch re-delivery gate is one left-anti against it (the
+        old implementation re-read and intersected ALL stage tables every
+        micro-batch, so a long-running ingest got slower per batch);
+      * ``<committed_table>__inflight`` — urls a batch STARTED (appended
+        before the stage writes). A url in inflight but not committed
+        marks a crash window; only then does the per-table left-anti
+        safety net (pending_inputs, which reads the stage tables) engage.
+        Steady-state batches never read a stage table for gating at all.
+
+    The key tables are a cache over the authoritative per-table state: a
+    crash between the stage appends and the committed append re-delivers
+    the batch, the inflight mark flags it suspicious, and the per-table
+    anti-join dedupes — no gaps, no duplicates. Pre-existing warehouses
+    without key tables are migrated once at job start."""
     from ..plans.pipeline import run_pipeline
 
     kwargs = pipeline_kwargs or {}
     stage_tables = tables or [(table, "doc_text", None)]
+    if committed_table is None:
+        committed_table = (
+            "_".join(t for t, _, _ in stage_tables) + "__committed_urls"
+        )
+    inflight_table = committed_table + "__inflight"
+    _bootstrap_key_tables(catalog, stage_tables, committed_table, inflight_table)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        # left-anti against committed keys makes re-delivered files no-ops;
-        # gate on the INTERSECTION of all committed tables (multi-table
-        # exactly-once, like the batch job)
         todo = batch_df
-        done = None
-        for t, _, _ in stage_tables:
-            if not catalog.exists(t):
-                done = None
-                break
-            keys = catalog.read(t).select("url").distinct()
-            done = keys if done is None else done.join(keys, "url", "left_semi")
-        if done is not None:
+        if catalog.exists(committed_table):
+            done = catalog.read(committed_table).select("url")
             todo = batch_df.join(done, "url", "left_anti")
         if todo.limit(1).count() == 0:
             return
+        todo_urls = todo.select("url").distinct().persist()
+        suspicious = False
+        if catalog.exists(inflight_table):
+            inflight = catalog.read(inflight_table).select("url")
+            suspicious = (
+                todo_urls.join(inflight, "url", "left_semi").limit(1).count() > 0
+            )
+        # mark in-flight BEFORE the stage writes: a crash mid-commit makes
+        # the re-delivered urls suspicious on the next run
+        catalog.append(todo_urls, inflight_table)
         out = run_pipeline(todo, **kwargs)
         for t, attr, page_col in stage_tables:
-            fresh = catalog.pending_inputs(getattr(out, attr), t, key="url")
+            df = getattr(out, attr)
+            # stage tables are only re-read for dedup when a crash window
+            # was detected; the steady-state path writes straight through
+            fresh = (catalog.pending_inputs(df, t, key="url")
+                     if suspicious else df)
             catalog.checkpoint_stage(fresh, t, url_col="url", page_col=page_col)
+        catalog.append(todo_urls, committed_table)
         out.enriched.unpersist()
+        todo_urls.unpersist()
 
     q = (
         stream_pages(spark, pages_dir)

@@ -147,6 +147,103 @@ class TestStreamingIngest:
         dupes = committed.groupBy("url").count().where("count > 1").count()
         assert dupes == 0
 
+    def test_committed_key_cache_keeps_batch_reads_flat(
+        self, spark, tmp_path, small_pages, monkeypatch
+    ):
+        """Per-batch bookkeeping must read only the compact key tables,
+        never re-scan the growing stage tables (the old gate intersected
+        EVERY stage table's urls each micro-batch)."""
+        from paper_layout_parser_spark.sources.catalog import Catalog
+        from paper_layout_parser_spark.streaming.ingest import (
+            run_incremental_extraction,
+        )
+
+        pages_dir = str(tmp_path / "pages_in")
+        cat = Catalog(spark, str(tmp_path / "wh"))
+        reads: list[str] = []
+        orig_read = Catalog.read
+        monkeypatch.setattr(
+            Catalog, "read",
+            lambda self, table: (reads.append(table), orig_read(self, table))[1],
+        )
+        stage = [("doc_text", "doc_text", None), ("matched", "matched", None)]
+
+        def slice_docs(lo, hi):
+            return small_pages.where(
+                F.regexp_extract("url", r"([0-9]+)$", 1).cast("long")
+                .between(lo, hi)
+            ).coalesce(1)  # one file -> one micro-batch
+
+        # batch 1: fresh warehouse — steady state from the start
+        slice_docs(0, 5).write.mode("overwrite").parquet(pages_dir)
+        run_incremental_extraction(spark, pages_dir, cat,
+                                   str(tmp_path / "ck1"), tables=stage)
+        # steady state: each stage table read exactly once (the
+        # checkpoint_stage return), never for gating/anti-joins
+        assert reads.count("doc_text") == 1 and reads.count("matched") == 1
+
+        # many more batches, corpus growing: stage-table reads per batch
+        # stay at 1 (write path) regardless of committed size
+        for lo in (6, 10, 14):
+            reads.clear()
+            slice_docs(lo, lo + 3).write.mode("append").parquet(pages_dir)
+            run_incremental_extraction(spark, pages_dir, cat,
+                                       str(tmp_path / f"ck_{lo}"), tables=stage)
+            assert reads.count("doc_text") == 1, reads
+            assert reads.count("matched") == 1, reads
+
+        # all-committed re-delivery (fresh stream checkpoint, same files):
+        # the gate consults ONLY the committed key table — zero stage reads
+        reads.clear()
+        run_incremental_extraction(spark, pages_dir, cat,
+                                   str(tmp_path / "ck_redeliver"), tables=stage)
+        assert reads.count("doc_text") == 0 and reads.count("matched") == 0
+        assert any("committed_urls" in t for t in reads)
+
+        # and exactly-once held throughout
+        committed = orig_read(cat, "doc_text")
+        assert committed.groupBy("url").count().where("count > 1").count() == 0
+        assert committed.select("url").distinct().count() == 18
+
+    def test_crash_between_stage_and_committed_append_dedupes(
+        self, spark, tmp_path, small_pages, monkeypatch
+    ):
+        """Kill the job AFTER the stage tables commit but BEFORE the
+        committed-key append: the re-delivered batch is flagged by its
+        inflight mark and the per-table anti-join safety net dedupes."""
+        from paper_layout_parser_spark.sources.catalog import Catalog
+        from paper_layout_parser_spark.streaming.ingest import (
+            run_incremental_extraction,
+        )
+
+        pages_dir = str(tmp_path / "pages_in")
+        small_pages.limit(8).coalesce(1).write.mode("overwrite").parquet(pages_dir)
+        cat = Catalog(spark, str(tmp_path / "wh"))
+        ckpt = str(tmp_path / "ckpt")
+
+        orig_append = Catalog.append
+
+        def crashing_append(self, df, table):
+            if table.endswith("__committed_urls"):
+                raise RuntimeError("simulated crash before committed append")
+            return orig_append(self, df, table)
+
+        monkeypatch.setattr(Catalog, "append", crashing_append)
+        with pytest.raises(Exception, match="simulated crash"):
+            run_incremental_extraction(spark, pages_dir, cat, ckpt)
+        monkeypatch.setattr(Catalog, "append", orig_append)
+
+        # stage data landed, committed mark didn't -> crash window
+        assert cat.exists("doc_text") and not cat.exists(
+            "doc_text__committed_urls")
+        # resume with the same stream checkpoint: batch re-delivers,
+        # inflight flags it, anti-join dedupes
+        run_incremental_extraction(spark, pages_dir, cat, ckpt)
+        committed = cat.read("doc_text")
+        assert committed.select("url").distinct().count() == 8
+        assert committed.groupBy("url").count().where("count > 1").count() == 0
+        assert cat.exists("doc_text__committed_urls")
+
     def test_streaming_multi_table_exactly_once(self, spark, tmp_path, small_pages):
         """The streaming ingest honors the same multi-table resume contract
         as the batch job: both tables commit per micro-batch, and
