@@ -403,6 +403,17 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicate_clusters(pairs, docs=d.select("doc_id"))
 
 
+def q_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION dedup composition: MinHash+LSH candidate pairs (the
+    O(docs x bands) scale path) -> transitive connected components -> one
+    representative per cluster. rows-only driver check (the LSH hash family
+    is engine-specific); pytest measures cluster-level recall against the
+    exact-Jaccard clustering twin."""
+    d = _docs(spark, sf_dir)
+    pairs = dd.minhash_lsh_pairs(d, threshold=0.5).select("id_a", "id_b")
+    return dd.duplicate_clusters(pairs, docs=d.select("doc_id"))
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test decontamination: every 50th doc plays the benchmark/eval
     corpus; training docs sharing any 3-gram with it are flagged."""
@@ -561,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dup_clusters": q_dup_clusters,
+        "dup_clusters_lsh": q_dup_clusters_lsh,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,

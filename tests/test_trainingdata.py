@@ -65,6 +65,32 @@ class TestDedup:
         assert lsh <= exact            # precision 1.0 (verified candidates)
         assert len(lsh) >= 0.9 * len(exact)  # recall at J>=0.5
 
+    def test_lsh_cluster_recall_vs_exact(self, spark, docs):
+        """Production composition (minhash_lsh_pairs -> duplicate_clusters)
+        recovers the exact-Jaccard clustering: co-clustered pairs at J>=0.5
+        are found with high recall, and LSH never merges docs the exact
+        clustering keeps apart (verified candidates -> precision 1.0)."""
+        from itertools import combinations
+
+        ids = docs.select("doc_id")
+        exact_pairs = dd.jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+        lsh_pairs = dd.minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
+
+        def co_clustered(pairs):
+            rows = dd.duplicate_clusters(pairs, docs=ids).collect()
+            by_cluster = {}
+            for r in rows:
+                by_cluster.setdefault(r["cluster_id"], []).append(r["doc_id"])
+            return {frozenset(p) for members in by_cluster.values()
+                    for p in combinations(sorted(members), 2)}
+
+        exact_cc = co_clustered(exact_pairs)
+        lsh_cc = co_clustered(lsh_pairs)
+        assert exact_cc, "corpus must contain duplicate clusters"
+        assert lsh_cc <= exact_cc                    # never over-merges
+        recall = len(lsh_cc & exact_cc) / len(exact_cc)
+        assert recall >= 0.9, f"cluster recall {recall:.3f}"
+
     def test_duplicate_clusters_transitive(self, spark):
         """Connected components: transitive chains collapse to the minimum
         id even for pairs never emitted directly; singletons keep their own
