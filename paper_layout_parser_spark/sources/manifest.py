@@ -89,6 +89,126 @@ def load_manifest(spark: SparkSession, path: str) -> tuple[dict, DataFrame]:
     return meta, docs
 
 
+def build_from_annotations(
+    spark: SparkSession,
+    annotation_paths: list[str],
+    output_dir: str,
+    name: str = "caption-matching-v1",
+    version: str = "1.0.0",
+    copy_files: bool = True,
+    created_at: str = "",
+) -> tuple[dict, DataFrame]:
+    """S6 DatasetBuilder: assemble caption_annotations.json files into the
+    benchmark layout + manifest (reference: caption_evaluator/builder.py:31-105
+    ``DatasetBuilder.build_from_annotations``).
+
+    Mirrors the reference behavior: missing files are skipped with a
+    warning; ``pdf_name`` comes from the file (falling back to the parent
+    directory name); the dataset ``annotator`` is the first file's; a
+    sibling ``extractions/extraction_metadata.json`` is picked up as the
+    document's extraction_path; ``copy_files=False`` references the
+    originals by absolute path instead of copying.
+
+    Spark shape: the per-file JSON headers are parsed DISTRIBUTED
+    (spark.read.json with an explicit schema, associated back to paths via
+    normalized input_file_name); only the layout assembly (copies +
+    manifest write) is driver-side — it is benchmark-scale file plumbing,
+    bounded by the eval set, same as save_manifest. ``created_at`` is an
+    injected parameter, never now() (determinism — SURVEY §1.2).
+
+    Returns (manifest metadata dict, documents DataFrame) — the same shape
+    ``load_manifest`` yields, so the built dataset feeds
+    ``plans.evaluation.run_benchmark_eval`` directly.
+    """
+    import shutil
+    import urllib.parse
+    import warnings
+
+    existing = [p for p in annotation_paths if os.path.exists(p)]
+    for p in annotation_paths:
+        if p not in existing:
+            warnings.warn(f"Annotation file not found: {p}", stacklevel=2)
+    ann_dir = os.path.join(output_dir, "annotations")
+    os.makedirs(ann_dir, exist_ok=True)
+    if not existing:
+        save_manifest(output_dir, [], name=name, version=version,
+                      created_at=created_at)
+        meta, docs = load_manifest(spark, output_dir)
+        return meta, docs
+
+    raw = (
+        spark.read.schema("pdf_name string, annotator string")
+        .option("multiLine", True).json(existing)
+        .withColumn("__file", F.input_file_name())
+        .collect()
+    )
+
+    def norm(uri: str) -> str:
+        p = urllib.parse.unquote(uri)
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+        return p
+
+    by_path = {norm(r["__file"]): (r["pdf_name"], r["annotator"]) for r in raw}
+
+    documents = []
+    annotator = "unknown"
+    for ann_path in existing:
+        pdf_name, file_annotator = by_path.get(
+            os.path.abspath(ann_path), (None, None)
+        )
+        pdf_name = pdf_name or os.path.basename(os.path.dirname(ann_path))
+        if annotator == "unknown" and file_annotator:
+            annotator = file_annotator
+        if copy_files:
+            doc_dir = os.path.join(ann_dir, pdf_name)
+            os.makedirs(doc_dir, exist_ok=True)
+            shutil.copy(ann_path, os.path.join(doc_dir, "caption_annotations.json"))
+            ann_rel = f"annotations/{pdf_name}/caption_annotations.json"
+        else:
+            ann_rel = os.path.abspath(ann_path)
+        # sibling extraction metadata (builder.py:80-92)
+        ext_src = os.path.join(os.path.dirname(ann_path), "extractions",
+                               "extraction_metadata.json")
+        ext_rel = None
+        if os.path.exists(ext_src):
+            if copy_files:
+                shutil.copy(ext_src,
+                            os.path.join(ann_dir, pdf_name,
+                                         "extraction_metadata.json"))
+                ext_rel = f"annotations/{pdf_name}/extraction_metadata.json"
+            else:
+                ext_rel = os.path.abspath(ext_src)
+        documents.append({"name": pdf_name, "annotation_path": ann_rel,
+                          "extraction_path": ext_rel})
+
+    save_manifest(output_dir, documents, name=name, version=version,
+                  annotator=annotator, created_at=created_at)
+    return load_manifest(spark, output_dir)
+
+
+def build_from_output_dir(
+    spark: SparkSession,
+    output_dir: str,
+    benchmark_dir: str,
+    **kwargs,
+) -> tuple[dict, DataFrame]:
+    """builder.py:107-141: discover ``*/caption_annotations.json`` under an
+    extraction output directory and assemble the benchmark from them.
+    Raises ValueError when none are found, like the reference."""
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(output_dir, "*",
+                                          "caption_annotations.json")))
+    if not paths:
+        raise ValueError(
+            f"No caption_annotations.json files found in {output_dir}"
+        )
+    return build_from_annotations(spark, paths, benchmark_dir, **kwargs)
+
+
 def resolve_prediction_paths(
     documents: DataFrame,
     base_path: str,

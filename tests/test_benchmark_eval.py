@@ -137,6 +137,85 @@ def test_file_eval_writes_reports(spark, benchdir):
     assert "| Document | Precision | Recall | F1 | Status |" in md
 
 
+def test_dataset_builder_end_to_end(spark, tmp_path, benchdir):
+    """S6 DatasetBuilder flow (builder.py:31-141): assemble annotation files
+    from an extraction-output layout into a NEW benchmark dataset (copies +
+    manifest), then run the full file-based evaluation over the BUILT
+    dataset — metrics must equal the in-memory path."""
+    import shutil
+
+    from paper_layout_parser_spark.sources.manifest import (
+        build_from_output_dir,
+        load_manifest,
+    )
+
+    bench, preds, _, expect = benchdir
+    # synthesize the reference's data/output layout the builder consumes:
+    # <out>/<name>/caption_annotations.json + <out>/<name>/extractions/...
+    src = tmp_path / "output"
+    for doc_dir in sorted(os.listdir(os.path.join(bench, "annotations"))):
+        d = src / doc_dir
+        d.mkdir(parents=True)
+        shutil.copy(
+            os.path.join(bench, "annotations", doc_dir, "caption_annotations.json"),
+            d / "caption_annotations.json",
+        )
+        (d / "extractions").mkdir()
+        shutil.copy(
+            os.path.join(preds, doc_dir, "extractions", "extraction_metadata.json"),
+            d / "extractions" / "extraction_metadata.json",
+        )
+
+    built = str(tmp_path / "built_bench")
+    meta, docs = build_from_output_dir(
+        spark, str(src), built, name="built-v1", created_at="t1"
+    )
+    assert meta["name"] == "built-v1"
+    assert meta["annotator"] == "stub-vlm"          # lifted from the files
+    assert docs.count() == 6
+    # every entry's copies landed and extraction_path points at the sibling
+    for r in docs.collect():
+        assert os.path.exists(os.path.join(built, r["annotation_path"]))
+        assert r["extraction_path"] is not None
+        assert os.path.exists(os.path.join(built, r["extraction_path"]))
+
+    # the built dataset round-trips through load_manifest and the FULL eval
+    meta2, _ = load_manifest(spark, built)
+    assert meta2["annotator"] == "stub-vlm"
+    summary = run_benchmark_eval(spark, built, created_at="t1", generated_at="t1")
+    c = summary["detailed_counts"]
+    assert (c["true_positives"], c["false_positives"], c["false_negatives"]) \
+        == (expect["tp"], expect["fp"], expect["fn"])
+    assert summary["summary"]["f1"] == expect["f1"]
+
+
+def test_dataset_builder_skips_missing_and_empty_raises(spark, tmp_path):
+    from paper_layout_parser_spark.sources.manifest import (
+        build_from_annotations,
+        build_from_output_dir,
+    )
+
+    with pytest.raises(ValueError, match="No caption_annotations.json"):
+        build_from_output_dir(spark, str(tmp_path / "nowhere"),
+                              str(tmp_path / "b"))
+
+    payload = {"pdf_name": "doc_a", "annotator": "vlm-x",
+               "pages": [{"page_number": 1, "matches": []}]}
+    d = tmp_path / "doc_a"
+    d.mkdir()
+    (d / "caption_annotations.json").write_text(json.dumps(payload))
+    with pytest.warns(UserWarning, match="not found"):
+        meta, docs = build_from_annotations(
+            spark,
+            [str(d / "caption_annotations.json"), str(tmp_path / "ghost.json")],
+            str(tmp_path / "built"), created_at="t0",
+        )
+    rows = docs.collect()
+    assert [r["name"] for r in rows] == ["doc_a"]
+    assert meta["annotator"] == "vlm-x"
+    assert rows[0]["extraction_path"] is None       # no sibling extractions
+
+
 def test_prediction_paths_with_uri_encoding_chars(spark, tmp_path):
     """input_file_name() percent-encodes spaces (and leaves '+' literal);
     the path->name join must survive both instead of silently dropping the
