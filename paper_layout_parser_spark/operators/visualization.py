@@ -51,6 +51,13 @@ DEFAULT_COLOR = (0, 255, 0)  # styles.py default
 # styles.py:42-47
 ANNOTATION_PREFIXES = {"figure": "F", "table": "T", "caption": "C"}
 
+# styles.py:36-40 (BGR)
+ANNOTATION_COLORS = {
+    "figure": (0, 255, 0),
+    "table": (255, 0, 0),
+    "caption": (0, 165, 255),
+}
+
 
 def _pack(bgr: tuple[int, int, int]) -> int:
     b, g, r = bgr
@@ -216,6 +223,60 @@ def paint_overlays(spec: DataFrame, page_w: int | None = None,
         })
 
     return spec.groupBy("url", "page_no").applyInPandas(paint, OVERLAY_SCHEMA)
+
+
+def _bgr_to_rgb(bgr: tuple[int, int, int]):
+    import numpy as np
+
+    b, g, r = bgr
+    return np.array([r, g, b], np.uint8)
+
+
+def class_legend_png(colors: dict | None = None, width: int = 400,
+                     height: int = 400, line_height: int = 35,
+                     box_size: int = 20, margin: int = 20) -> bytes:
+    """Class-color legend image (legend.py:40-90 ``create_class_legend``):
+    one filled swatch per palette entry at the reference's exact geometry
+    (boxes at (margin, margin+10 + i*line_height), stopping when the next
+    box would cross height-10), white background, PNG-encoded with the
+    stdlib encoder. The cv2.putText class-name glyphs are the one gated
+    piece (same seam as render_overlays); entry ORDER is the palette order,
+    so row i is identifiable without glyphs."""
+    import numpy as np
+
+    colors = colors or DEFAULT_COLORS
+    legend = np.full((height, width, 3), 255, np.uint8)
+    y = margin + 10
+    for _name, bgr in colors.items():
+        if y + box_size > height - 10:
+            break
+        legend[y:y + box_size, margin:margin + box_size] = _bgr_to_rgb(bgr)
+        y += line_height
+    return encode_png(legend)
+
+
+def annotation_legend_png(width: int = 400, height: int = 150,
+                          margin: int = 20) -> bytes:
+    """Annotation-mode legend (legend.py:95-150 ``create_annotation_legend``):
+    three 30x25 swatches (figure/table/caption) with a 1px black border at
+    y = 60 + i*35, glyph text gated as above."""
+    import numpy as np
+
+    legend = np.full((height, width, 3), 255, np.uint8)
+    y = 60
+    for kind in ("figure", "table", "caption"):
+        # cv2 clips rectangles at the canvas edge (the reference's last
+        # swatch bottom lands at y=154 on a 150px canvas); slices clip the
+        # fill, the border rows draw only while on-canvas
+        legend[y:y + 25, margin:margin + 30] = _bgr_to_rgb(ANNOTATION_COLORS[kind])
+        black = np.zeros(3, np.uint8)
+        legend[y, margin:margin + 30] = black
+        if y + 24 < height:
+            legend[y + 24, margin:margin + 30] = black
+        legend[y:y + 25, margin] = black
+        legend[y:y + 25, margin + 29] = black
+        y += 35
+    return encode_png(legend)
 
 
 def render_overlays(spec_with_payload: DataFrame, strict: bool = True) -> DataFrame:

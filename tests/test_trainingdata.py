@@ -465,6 +465,48 @@ class TestVisualization:
         again = {r["page_no"]: bytes(r["overlay_png"]) for r in out.collect()}
         assert again[1] == bytes(rows[1]["overlay_png"])
 
+    def test_class_legend_swatches(self):
+        """Legend artifact (legend.py:40-90 minus glyphs): decodable PNG,
+        reference geometry, one palette-colored swatch per row in palette
+        order, truncated exactly where the reference stops."""
+        import numpy as np
+
+        from paper_layout_parser_spark.operators.visualization import (
+            DEFAULT_COLORS,
+            class_legend_png,
+            decode_png_rgb,
+        )
+
+        img = decode_png_rgb(class_legend_png())
+        assert img.shape == (400, 400, 3)
+        names = list(DEFAULT_COLORS)
+        # boxes at y = 30 + i*35, 20px, margin 20; fits while y+20 <= 390
+        n_fit = sum(1 for i in range(len(names)) if 30 + i * 35 + 20 <= 390)
+        for i in range(n_fit):
+            b, g, r = DEFAULT_COLORS[names[i]]
+            assert tuple(img[30 + i * 35 + 10, 30]) == (r, g, b), names[i]
+        # background stays white outside the swatch column
+        assert tuple(img[30, 300]) == (255, 255, 255)
+        # truncation: no swatch painted past the fit limit
+        if n_fit < len(names):
+            assert tuple(img[30 + n_fit * 35 + 10, 30]) == (255, 255, 255)
+
+    def test_annotation_legend_swatches(self):
+        import numpy as np  # noqa: F401
+
+        from paper_layout_parser_spark.operators.visualization import (
+            ANNOTATION_COLORS,
+            annotation_legend_png,
+            decode_png_rgb,
+        )
+
+        img = decode_png_rgb(annotation_legend_png())
+        assert img.shape == (150, 400, 3)
+        for i, kind in enumerate(("figure", "table", "caption")):
+            b, g, r = ANNOTATION_COLORS[kind]
+            assert tuple(img[60 + i * 35 + 12, 35]) == (r, g, b)
+            assert tuple(img[60 + i * 35, 35]) == (0, 0, 0)  # border
+
     def test_paint_overlays_per_page_canvas(self, spark):
         """Default (no scalar dims): each page's canvas is sized from its OWN
         width/height columns — mixed-size corpora must not share one rect."""
