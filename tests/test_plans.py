@@ -57,3 +57,25 @@ def test_branches_reuse_persisted_enriched(spark):
     assert "InMemoryTableScan" in plan
     # the UDF chain must NOT appear again above the cached scan
     assert "MapInPandas" not in plan.split("InMemoryRelation")[0]
+
+
+def test_per_page_crop_math_is_pure_projection(spark):
+    """Per-page clamping must not cost a plan shape: width/height ride as
+    columns on matched (carried from the rasterized page), so crop_bounds
+    and to_percent_coords compile to a single Project — no join-back
+    against the pages table, no exchange."""
+    from paper_layout_parser_spark.operators.crop import crop_bounds
+    from paper_layout_parser_spark.operators.export import to_percent_coords
+
+    matched = spark.createDataFrame(
+        [("u", "figure", "fig_01_01", 1, 1224, 1584,
+          100.0, 200.0, 300.0, 400.0, None, None, None, None)],
+        "url string, item_type string, item_id string, page_number int, "
+        "width int, height int, "
+        "item_x1 double, item_y1 double, item_x2 double, item_y2 double, "
+        "cap_x1 double, cap_y1 double, cap_x2 double, cap_y2 double",
+    )
+    for df in (crop_bounds(matched), to_percent_coords(matched)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:1200]
+        assert "Join" not in plan, plan[:1200]
