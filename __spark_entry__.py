@@ -383,6 +383,14 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_topk(emb, queries, k=10)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only driver check (approximate by construction; centroid table is
+    # engine-specific); pytest asserts recall against q_ann_topk
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    return sim.ivf_topk(emb, queries, k=10)
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_neardup_pairs(_embeddings(spark, sf_dir), threshold=0.4)
 
@@ -577,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embed_neardup": q_embed_neardup,
         "embed_neardup_lsh": q_embed_neardup_lsh,
         "decontaminate": q_decontaminate,

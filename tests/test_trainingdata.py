@@ -319,6 +319,25 @@ class TestSimilarity:
             ranks = sorted(r.rank for r in rows)
             assert ranks == list(range(1, len(ranks) + 1))
 
+    def test_ivf_topk_recall_and_determinism(self, spark, emb):
+        """IVF coarse quantizer path: probing nprobe/num_centroids of the
+        corpus recovers most exact top-k neighbors, deterministically, and
+        nprobe = num_centroids degenerates to the exact result."""
+        queries = emb.where(F.col("vec_id") % 50 == 0)
+        exact = {(r.query_id, r.neighbor_id)
+                 for r in sim.brute_force_topk(emb, queries, k=5).collect()}
+        ivf = sim.ivf_topk(emb, queries, k=5, num_centroids=8, nprobe=3)
+        got = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.7, f"IVF recall {recall:.3f}"   # probing 3/8 lists
+        # deterministic across runs
+        assert {(r.query_id, r.neighbor_id) for r in ivf.collect()} == got
+        # full probe == exact
+        full = {(r.query_id, r.neighbor_id)
+                for r in sim.ivf_topk(emb, queries, k=5, num_centroids=8,
+                                      nprobe=8).collect()}
+        assert full == exact
+
 
 class TestMultimodal:
     def test_media_meta_sniffing(self, spark):
