@@ -30,16 +30,18 @@ DEFAULT_SHINGLE_K = 3
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
-                text_col: str = "text", verify: bool = False) -> DataFrame:
+                text_col: str = "text", verify: bool = False,
+                hash_fn=None) -> DataFrame:
     """One row per distinct text: the kept (minimum) id and the copy count.
 
-    The grouping key is (xxhash64(text), length(text)), NOT the raw text —
+    The grouping key is (hash_fn(text), length(text)), NOT the raw text —
     at 100 TB, shuffling full document bodies as the exchange key is the
-    dominant cost; the 16-byte composite key shuffles only ids + counts
-    after the map-side combine. Collision odds for a 64-bit hash qualified
-    by exact length are ~n²/2⁶⁵ (≈10⁻⁸ even at 10⁹ distinct docs); where
-    that is not acceptable, substitute sha2(text, 256) for xxhash64 —
-    same plan shape.
+    dominant cost; the narrow composite key shuffles only ids + counts
+    after the map-side combine. Default hash_fn is xxhash64 (16-byte key):
+    collision odds qualified by exact length are ~n²/2⁶⁵ (≈10⁻⁸ even at
+    10⁹ distinct docs); where that is not acceptable, pass
+    ``hash_fn=lambda c: F.sha2(c, 256)`` — same plan shape, 40-byte key
+    (same knob as curation.clean_corpus's dup_hash).
 
     ``verify=True`` additionally carries a second independent 128-bit
     fingerprint (md5) through the aggregation and RAISES if any hash group
@@ -47,8 +49,9 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
     never shuffling the text itself. The aggregate is persisted across the
     audit count and the returned frame (one aggregation, not two); the
     caller may ``.unpersist()`` the result after its own action."""
+    hash_fn = hash_fn or F.xxhash64
     grouped = docs.groupBy(
-        F.xxhash64(F.col(text_col)).alias("__h"),
+        hash_fn(F.col(text_col)).alias("__h"),
         F.length(F.col(text_col)).alias("__len"),
     )
     if not verify:

@@ -35,6 +35,28 @@ class TestDedup:
                  for r in dd.exact_dedup(df, verify=True).collect()}
         assert got_v == got
 
+    def test_exact_dedup_and_clean_corpus_sha2_knob(self, spark):
+        """The paranoid-path hash substitution produces identical results
+        (sha2 key, same plan shape) in both exact_dedup and the curation
+        funnel's duplicate rule."""
+        from paper_layout_parser_spark.operators.curation import clean_corpus
+
+        df = spark.createDataFrame(
+            [(1, "same same"), (2, "same same"), (3, "other text")],
+            "doc_id long, text string",
+        )
+        sha = lambda c: F.sha2(c, 256)  # noqa: E731
+        base = {r["keep_id"]: r["n_copies"] for r in dd.exact_dedup(df).collect()}
+        got = {r["keep_id"]: r["n_copies"]
+               for r in dd.exact_dedup(df, hash_fn=sha).collect()}
+        assert got == base == {1: 2, 3: 1}
+        a = {r["doc_id"]: r["drop_reason"]
+             for r in clean_corpus(df, min_quality=0.0, lang="und").collect()}
+        b = {r["doc_id"]: r["drop_reason"]
+             for r in clean_corpus(df, min_quality=0.0, lang="und",
+                                   dup_hash=sha).collect()}
+        assert a == b and b[2] == "duplicate"
+
     def test_jaccard_pairs_vs_python(self, spark, docs):
         got = {(r.id_a, r.id_b): r.jaccard
                for r in dd.jaccard_pairs(docs, threshold=0.2).collect()}
