@@ -51,12 +51,27 @@ def _pipeline(spark: SparkSession, sf_dir: str) -> tuple:
     return _CACHE[key]
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread an under-partitioned scan across the cluster before heavy
+    derived work. The driver parquet is a SINGLE row group -> one scan
+    partition, and Spark's map-side work (shingle explode + minhash
+    partial aggregation, cosine folds) inherits the scan's partitioning —
+    measured at sf0.1: minhash signatures 6.7s -> 1.4s, full LSH 8.3s ->
+    3.3s, exact Jaccard 8.1s -> 2.5s after the spread. A production
+    corpus with many files/row groups passes through untouched (the
+    repartition only fires when the scan is narrower than the cluster)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _docs_with_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
