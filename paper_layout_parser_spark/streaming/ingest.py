@@ -91,7 +91,11 @@ def run_incremental_extraction(
     crash between the stage appends and the committed append re-delivers
     the batch, the inflight mark flags it suspicious, and the per-table
     anti-join dedupes — no gaps, no duplicates. Pre-existing warehouses
-    without key tables are migrated once at job start."""
+    without key tables are migrated once at job start. Each batch appends
+    one small file per key table; on a long-running Iceberg deployment
+    schedule a rewrite_data_files compaction on them (they are url-only,
+    so compaction is cheap), or rebuild them from the stage tables via the
+    bootstrap path."""
     from ..plans.pipeline import run_pipeline
 
     kwargs = pipeline_kwargs or {}
