@@ -490,6 +490,70 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOILER_SUFFIX = (
+    "\nShare on Facebook\nSubscribe to our newsletter\nCookie notice "
+)
+
+
+def _noisy_lines(d: DataFrame) -> DataFrame:
+    """Deterministic multi-line variant of the documents table, identical
+    in both engines: two corpus-wide boilerplate lines, a semi-common
+    cookie line (5 variants), and a doc-unique reference line."""
+    did = F.col("doc_id")
+    noisy = F.concat(
+        F.col("text"),
+        F.lit(_BOILER_SUFFIX), (did % 5).cast("string"),
+        F.lit("\nRef doc "), did.cast("string"),
+    )
+    return d.select("doc_id", noisy.alias("text"))
+
+
+_NOISY_LINES_SQL = (
+    "SELECT doc_id, text || chr(10) || 'Share on Facebook' || chr(10) || "
+    "'Subscribe to our newsletter' || chr(10) || 'Cookie notice ' || "
+    "(doc_id % 5) || chr(10) || 'Ref doc ' || doc_id AS t FROM documents"
+)
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate-line removal (the C4/CCNet rule): lines
+    occurring verbatim more than max_occurrences times across the corpus
+    are dropped from every document. The planted boilerplate (corpus-wide
+    + 5-variant cookie notices) must vanish; the unique content and
+    reference lines must survive byte-identically (md5-compared)."""
+    cleaned = dd.dedup_lines(_noisy_lines(_docs(spark, sf_dir)),
+                             max_occurrences=10)
+    return cleaned.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
+        F.col("n_lines_dropped").cast("long").alias("n_lines_dropped"),
+    )
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: within-doc duplicate-line fraction
+    (native column math) + the characters covered by the most frequent
+    word 2-gram (relational argmax)."""
+    from paper_layout_parser_spark.operators.curation import (
+        top_ngram_char_fraction,
+    )
+
+    noisy = _noisy_lines(_docs(spark, sf_dir))
+    feats = tfn.line_repetition_features(F.col("text"))
+    base = noisy.select(
+        "doc_id",
+        feats["n_lines"].cast("long").alias("n_lines"),
+        feats["dup_line_fraction"].alias("dup_line_fraction"),
+    )
+    top = top_ngram_char_fraction(noisy, n=2).select(
+        "doc_id", "top_ngram",
+        F.col("top_ngram_count").cast("long").alias("top_ngram_count"),
+        "top_ngram_char_fraction",
+    )
+    return base.join(top, "doc_id")
+
+
 def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-lang profile (distinct + interpolated percentiles) — the
     oracle twin of the HLL/GK sketch path."""
@@ -604,6 +668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "embed_neardup_lsh": q_embed_neardup_lsh,
         "decontaminate": q_decontaminate,
+        "line_dedup": q_line_dedup,
+        "repetition": q_repetition,
         "url_canon": q_url_canon,
         "pii_redact": q_pii_redact,
         "corpus_filter": q_corpus_filter,
@@ -798,6 +864,53 @@ SELECT doc_id,
        {cnt('phone')} AS n_phone,
        md5({tfn.redact_pii_sql('t')}) AS redacted_md5
 FROM n"""
+
+
+def _line_dedup_sql(max_occurrences: int = 10) -> str:
+    return f"""
+WITH n AS ({_NOISY_LINES_SQL}),
+ls AS (SELECT doc_id, string_split(t, chr(10)) AS arr FROM n),
+l AS (SELECT doc_id, generate_subscripts(arr, 1) AS line_no,
+             unnest(arr) AS line FROM ls),
+c AS (SELECT line, count(*) AS cnt FROM l GROUP BY line),
+k AS (SELECT l.doc_id, l.line_no, l.line, c.cnt <= {max_occurrences} AS keep
+      FROM l JOIN c USING (line))
+SELECT doc_id,
+       md5(COALESCE(string_agg(line, chr(10) ORDER BY line_no)
+                    FILTER (keep), '')) AS clean_md5,
+       count(*) FILTER (keep) AS n_lines_kept,
+       count(*) FILTER (NOT keep) AS n_lines_dropped
+FROM k GROUP BY doc_id"""
+
+
+def _repetition_sql() -> str:
+    sh2 = tfn.ngrams_sql("w", 2)
+    return f"""
+WITH n AS ({_NOISY_LINES_SQL}),
+base AS (
+  SELECT doc_id,
+         len(string_split(t, chr(10))) AS n_lines,
+         {sd.sql_round_half_up(
+             '(len(string_split(t, chr(10))) - '
+             'len(list_distinct(string_split(t, chr(10))))) / '
+             'len(string_split(t, chr(10)))', 4)} AS dup_line_fraction
+  FROM n
+),
+grams AS (
+  SELECT doc_id, chars, unnest({sh2}) AS gram
+  FROM (SELECT doc_id, length(t) AS chars,
+               string_split_regex(trim(t), '\\s+') AS w FROM n)
+),
+cnts AS (SELECT doc_id, chars, gram, count(*) AS cnt
+         FROM grams GROUP BY 1, 2, 3),
+top AS (SELECT * FROM cnts
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY cnt DESC, gram) = 1)
+SELECT b.doc_id, b.n_lines, b.dup_line_fraction,
+       top.gram AS top_ngram, top.cnt AS top_ngram_count,
+       {sd.sql_round_half_up('top.cnt * length(top.gram) / top.chars', 6)}
+       AS top_ngram_char_fraction
+FROM base b JOIN top USING (doc_id)"""
 
 
 def _url_canon_sql() -> str:
@@ -1014,6 +1127,8 @@ d AS (
 hits AS (SELECT DISTINCT d.doc_id FROM d JOIN b USING (s))
 SELECT doc_id, (doc_id IN (SELECT doc_id FROM hits)) AS contaminated
 FROM documents""",
+        "line_dedup": _line_dedup_sql(),
+        "repetition": _repetition_sql(),
         "url_canon": _url_canon_sql(),
         "sketch_stats": """
 SELECT lang, count(DISTINCT n_chars) AS n_distinct,

@@ -36,6 +36,31 @@ def shingles(words_col: Column, k: int = 3) -> Column:
     )
 
 
+def ngrams(words_col: Column, k: int = 2) -> Column:
+    """k-word n-grams WITH multiplicity (space-joined) — unlike
+    ``shingles`` (a distinct SET, for Jaccard), frequency-based signals
+    (top-n-gram repetition) need every occurrence."""
+    expr = F.transform(
+        F.sequence(F.lit(0), F.size(words_col) - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words_col, i + j + 1) for j in range(k)]
+        ),
+    )
+    return F.when(F.size(words_col) >= k, expr).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngrams_sql(words_expr: str, k: int = 2) -> str:
+    """DuckDB twin of ``ngrams`` (multiplicity preserved)."""
+    return (
+        f"(CASE WHEN len({words_expr}) >= {k} THEN "
+        f"[array_to_string({words_expr}[i:i+{k - 1}], ' ') "
+        f"for i in generate_series(1, len({words_expr}) - {k - 1})] "
+        f"ELSE [] END)"
+    )
+
+
 def shingles_sql(words_expr: str, k: int = 3) -> str:
     """DuckDB twin of ``shingles`` (1-based, end-inclusive slices)."""
     return (
@@ -174,3 +199,18 @@ def redact_pii_sql(expr: str) -> str:
         pat = PII_PATTERNS[kind].replace("'", "''")
         out = f"regexp_replace({out}, '{pat}', '{REDACTION_TOKENS[kind]}', 'g')"
     return out
+
+
+def line_repetition_features(text: Column) -> dict[str, Column]:
+    """Gopher-style within-document repetition signals over lines:
+    n_lines and the fraction of lines that are verbatim duplicates of an
+    earlier line in the SAME document (Rae et al. 2021 use thresholds on
+    exactly this to drop listing/boilerplate pages). Pure column
+    expressions — codegen, no shuffle."""
+    lines = F.split(text, "\n")
+    n = F.size(lines)
+    dup = (n - F.size(F.array_distinct(lines))) / n
+    return {
+        "n_lines": n,
+        "dup_line_fraction": round_half_up(dup, 4),
+    }

@@ -110,3 +110,45 @@ def curation_funnel(cleaned: DataFrame) -> DataFrame:
     return cleaned.groupBy(
         F.coalesce("drop_reason", F.lit("kept")).alias("stage")
     ).agg(F.count("*").alias("n_docs"))
+
+
+def top_ngram_char_fraction(
+    docs: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition signal: the fraction of a document's
+    characters covered by its MOST FREQUENT word n-gram
+    (occurrences x n-gram length / doc length). High values mark
+    keyword-stuffed / machine-generated pages; published pipelines drop
+    e.g. top-2-gram fraction > 0.20.
+
+    Returns (id, top_ngram, top_ngram_count, top_ngram_char_fraction).
+    Relational shape: explode n-grams -> count per (doc, gram) (map-side
+    combinable) -> per-doc argmax via a WindowGroupLimit-eligible
+    row_number (ties: highest count, then lexicographically first gram).
+    The shuffle is keyed on (doc, gram) — never wider than the tokenized
+    corpus itself."""
+    from ..functions.geometry import round_half_up
+    from ..functions.text import ngrams, words
+
+    grams = docs.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("__chars"),
+        # ngrams, NOT shingles: the signal is frequency, so multiplicity
+        # must survive (shingles are a distinct set for Jaccard)
+        F.explode(ngrams(words(F.col(text_col)), n)).alias("gram"),
+    )
+    counts = grams.groupBy(id_col, "__chars", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cnt"), F.asc("gram"))
+    top = counts.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+    frac = F.col("cnt") * F.length("gram") / F.col("__chars")
+    return top.select(
+        id_col,
+        F.col("gram").alias("top_ngram"),
+        F.col("cnt").alias("top_ngram_count"),
+        round_half_up(frac, 6).alias("top_ngram_char_fraction"),
+    )

@@ -328,6 +328,49 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     ).withColumn("contaminated", F.coalesce(F.col("contaminated"), F.lit(False)))
 
 
+def dedup_lines(docs: DataFrame, max_occurrences: int = 1,
+                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """CORPUS-level line deduplication — the classic web-corpus boilerplate
+    filter (C4 / CCNet / RefinedWeb all apply a variant): any line whose
+    verbatim occurrence count ACROSS THE CORPUS exceeds ``max_occurrences``
+    is dropped from every document ("Share on Facebook", cookie notices,
+    nav menus), and each document's text is reassembled from its surviving
+    lines in original order.
+
+    Returns (id, clean_text, n_lines_kept, n_lines_dropped) — one row per
+    input document (a fully-boilerplate doc keeps the row with empty text).
+
+    Scale shape: the global count groups on (xxhash64(line), length(line))
+    — the 16-byte key discipline of exact_dedup, so the corpus-wide count
+    exchange never carries line bodies; the flag join is equi on the same
+    narrow key; reassembly is one groupBy(id) with an array_sort fold over
+    (line_no, line, keep) structs (bounded by a single document's lines).
+    All occurrences of an over-limit line are dropped (not first-kept):
+    keeping "the first" needs a global order over 10¹² rows and the
+    boilerplate-removal semantics want the line gone everywhere anyway."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    ).withColumn("__h", F.xxhash64("line")).withColumn("__len", F.length("line"))
+    counts = lines.groupBy("__h", "__len").agg(F.count("*").alias("__cnt"))
+    flagged = lines.join(counts, ["__h", "__len"]).withColumn(
+        "__keep", F.col("__cnt") <= max_occurrences
+    )
+    folded = flagged.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("line_no", "line", "__keep"))
+        ).alias("ls")
+    )
+    kept = F.filter(F.col("ls"), lambda s: s["__keep"])
+    return folded.select(
+        id_col,
+        F.array_join(F.transform(kept, lambda s: s["line"]), "\n")
+        .alias("clean_text"),
+        F.size(kept).alias("n_lines_kept"),
+        (F.size("ls") - F.size(kept)).alias("n_lines_dropped"),
+    )
+
+
 def simhash64(docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document, fully native: explode tokens, xxhash64

@@ -130,6 +130,53 @@ class TestDedup:
         assert got[40] == got[41] == 40
         assert got[30] == 30  # singleton
 
+    def test_dedup_lines_corpus_boilerplate(self, spark):
+        """Lines repeated across the corpus beyond the cap are dropped from
+        EVERY doc; order of surviving lines is preserved; a fully-
+        boilerplate doc keeps its row with empty text."""
+        rows = [
+            (1, "unique alpha\nSHARE\ncontent one\nSHARE"),
+            (2, "SHARE\ncontent two"),
+            (3, "content three\nSHARE"),
+            (4, "SHARE"),                      # nothing survives
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in
+               dd.dedup_lines(df, max_occurrences=2).collect()}
+        assert got[1]["clean_text"] == "unique alpha\ncontent one"
+        assert got[1]["n_lines_kept"] == 2 and got[1]["n_lines_dropped"] == 2
+        assert got[2]["clean_text"] == "content two"
+        assert got[3]["clean_text"] == "content three"
+        assert got[4]["clean_text"] == ""
+        assert got[4]["n_lines_kept"] == 0 and got[4]["n_lines_dropped"] == 1
+        # under the cap nothing is touched
+        loose = {r["doc_id"]: r["clean_text"] for r in
+                 dd.dedup_lines(df, max_occurrences=10).collect()}
+        assert loose == {r[0]: r[1] for r in rows}
+
+    def test_top_ngram_char_fraction_vs_python(self, spark):
+        from collections import Counter
+
+        from paper_layout_parser_spark.operators.curation import (
+            top_ngram_char_fraction,
+        )
+
+        rows = [(1, "buy now buy now buy now limited offer"),
+                (2, "a b c d e f")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in top_ngram_char_fraction(df, 2).collect()}
+        for doc_id, text in rows:
+            w = text.split()
+            grams = Counter(" ".join(w[i:i + 2]) for i in range(len(w) - 1))
+            best_cnt = max(grams.values())
+            best = min(g for g, c in grams.items() if c == best_cnt)
+            r = got[doc_id]
+            assert r["top_ngram"] == best and r["top_ngram_count"] == best_cnt
+            import math
+            exp = math.floor(best_cnt * len(best) / len(text) * 1e6 + 0.5) / 1e6
+            assert r["top_ngram_char_fraction"] == exp
+        assert got[1]["top_ngram"] == "buy now" and got[1]["top_ngram_count"] == 3
+
     def test_decontaminate_flag_and_drop(self, spark):
         train = spark.createDataFrame(
             [(1, "a b c d"), (2, "x y z w"), (3, "q a b c")],
