@@ -554,6 +554,16 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(top, "doc_id")
 
 
+def q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment via md5 hex thresholds —
+    no RNG, engine-independent, oracle-checked bit-for-bit."""
+    from paper_layout_parser_spark.operators.curation import assign_split
+
+    return assign_split(_docs(spark, sf_dir).select("doc_id")).select(
+        "doc_id", "split"
+    )
+
+
 def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-lang profile (distinct + interpolated percentiles) — the
     oracle twin of the HLL/GK sketch path."""
@@ -670,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "line_dedup": q_line_dedup,
         "repetition": q_repetition,
+        "split": q_split,
         "url_canon": q_url_canon,
         "pii_redact": q_pii_redact,
         "corpus_filter": q_corpus_filter,
@@ -913,6 +924,13 @@ SELECT b.doc_id, b.n_lines, b.dup_line_fraction,
 FROM base b JOIN top USING (doc_id)"""
 
 
+def _split_sql() -> str:
+    from paper_layout_parser_spark.operators.curation import assign_split_sql
+
+    return (f"SELECT doc_id, {assign_split_sql('doc_id')} AS split "
+            f"FROM documents")
+
+
 def _url_canon_sql() -> str:
     from paper_layout_parser_spark.functions.url import canonical_url_sql
 
@@ -1129,6 +1147,7 @@ SELECT doc_id, (doc_id IN (SELECT doc_id FROM hits)) AS contaminated
 FROM documents""",
         "line_dedup": _line_dedup_sql(),
         "repetition": _repetition_sql(),
+        "split": _split_sql(),
         "url_canon": _url_canon_sql(),
         "sketch_stats": """
 SELECT lang, count(DISTINCT n_chars) AS n_distinct,

@@ -152,3 +152,62 @@ def top_ngram_char_fraction(
         F.col("cnt").alias("top_ngram_count"),
         round_half_up(frac, 6).alias("top_ngram_char_fraction"),
     )
+
+
+def split_bounds(weights: dict[str, float]) -> list[tuple[str, str]]:
+    """(name, inclusive-exclusive upper bound as an 8-hex-digit string) per
+    split, partitioning [0, 16^8) proportionally to the weights. Shared by
+    the Spark expression and the DuckDB oracle so both engines compare the
+    SAME literals."""
+    total = sum(weights.values())
+    acc = 0.0
+    bounds = []
+    for name, wt in weights.items():
+        acc += wt / total
+        bounds.append((name, format(min(int(acc * 16 ** 8), 16 ** 8 - 1), "08x")))
+    return bounds
+
+
+DEFAULT_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def assign_split(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    salt: str = "plp",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — reproducible corpus
+    splits with NO RNG, no shuffle, and no engine-specific hash: the key
+    is md5(salt || ':' || id), a uniform hex string, and the unit interval
+    is partitioned by hex-string thresholds, so assignment is a pure
+    string comparison any engine reproduces bit-identically. Changing
+    ``salt`` re-rolls every assignment; adding documents never moves
+    existing ones (the property replicated experiments need).
+
+    Returns docs + a ``split`` column. Pure codegen projection — at 100 TB
+    this is a free map over the scan."""
+    weights = weights or DEFAULT_SPLIT_WEIGHTS
+    bounds = split_bounds(weights)
+    h8 = F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8
+    )
+    expr = None
+    for name, ub in bounds[:-1]:
+        cond = h8 < F.lit(ub)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = bounds[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return docs.withColumn("split", expr)
+
+
+def assign_split_sql(id_expr: str, weights: dict[str, float] | None = None,
+                     salt: str = "plp") -> str:
+    """DuckDB twin of assign_split's split expression (same literals)."""
+    weights = weights or DEFAULT_SPLIT_WEIGHTS
+    bounds = split_bounds(weights)
+    h8 = f"substr(md5('{salt}:' || {id_expr}), 1, 8)"
+    whens = " ".join(
+        f"WHEN {h8} < '{ub}' THEN '{name}'" for name, ub in bounds[:-1]
+    )
+    return f"CASE {whens} ELSE '{bounds[-1][0]}' END"

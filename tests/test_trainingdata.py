@@ -177,6 +177,38 @@ class TestDedup:
             assert r["top_ngram_char_fraction"] == exp
         assert got[1]["top_ngram"] == "buy now" and got[1]["top_ngram_count"] == 3
 
+    def test_assign_split_deterministic_and_stable(self, spark, docs):
+        """Reproducible splits: proportions roughly honor the weights,
+        assignment is identical across runs, changing the salt re-rolls,
+        and adding documents never moves existing assignments."""
+        import hashlib
+
+        from paper_layout_parser_spark.operators.curation import assign_split
+
+        ids = docs.select("doc_id")
+        a = {r["doc_id"]: r["split"] for r in assign_split(ids).collect()}
+        b = {r["doc_id"]: r["split"] for r in assign_split(ids).collect()}
+        assert a == b
+        n = len(a)
+        frac_train = sum(1 for v in a.values() if v == "train") / n
+        assert 0.8 < frac_train < 0.97
+        assert set(a.values()) <= {"train", "val", "test"}
+        # python twin: the assignment IS md5-threshold comparison
+        for doc_id, split in list(a.items())[:20]:
+            h8 = hashlib.md5(f"plp:{doc_id}".encode()).hexdigest()[:8]
+            exp = ("train" if h8 < format(int(0.9 * 16 ** 8), "08x")
+                   else "val" if h8 < format(int(0.95 * 16 ** 8), "08x")
+                   else "test")
+            assert split == exp, (doc_id, h8)
+        # salt re-rolls
+        c = {r["doc_id"]: r["split"]
+             for r in assign_split(ids, salt="other").collect()}
+        assert c != a
+        # subset stability: assignments on half the corpus are unchanged
+        half = {r["doc_id"]: r["split"]
+                for r in assign_split(ids.where("doc_id % 2 = 0")).collect()}
+        assert all(a[k] == v for k, v in half.items())
+
     def test_decontaminate_flag_and_drop(self, spark):
         train = spark.createDataFrame(
             [(1, "a b c d"), (2, "x y z w"), (3, "q a b c")],
