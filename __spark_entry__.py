@@ -564,6 +564,19 @@ def q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25}
+
+
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (rebalance overrepresented
+    strata) — same md5-threshold mechanism, oracle-checked bit-for-bit."""
+    from paper_layout_parser_spark.operators.curation import stratified_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return stratified_sample(d, _SAMPLE_FRACTIONS, by="lang",
+                             default_fraction=0.75)
+
+
 def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-lang profile (distinct + interpolated percentiles) — the
     oracle twin of the HLL/GK sketch path."""
@@ -681,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "repetition": q_repetition,
         "split": q_split,
+        "sample": q_sample,
         "url_canon": q_url_canon,
         "pii_redact": q_pii_redact,
         "corpus_filter": q_corpus_filter,
@@ -931,6 +945,16 @@ def _split_sql() -> str:
             f"FROM documents")
 
 
+def _sample_sql() -> str:
+    from paper_layout_parser_spark.operators.curation import (
+        stratified_sample_sql,
+    )
+
+    pred = stratified_sample_sql("doc_id", "lang", _SAMPLE_FRACTIONS,
+                                 default_fraction=0.75)
+    return f"SELECT doc_id, lang FROM documents WHERE {pred}"
+
+
 def _url_canon_sql() -> str:
     from paper_layout_parser_spark.functions.url import canonical_url_sql
 
@@ -1148,6 +1172,7 @@ FROM documents""",
         "line_dedup": _line_dedup_sql(),
         "repetition": _repetition_sql(),
         "split": _split_sql(),
+        "sample": _sample_sql(),
         "url_canon": _url_canon_sql(),
         "sketch_stats": """
 SELECT lang, count(DISTINCT n_chars) AS n_distinct,

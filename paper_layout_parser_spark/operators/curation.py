@@ -211,3 +211,53 @@ def assign_split_sql(id_expr: str, weights: dict[str, float] | None = None,
         f"WHEN {h8} < '{ub}' THEN '{name}'" for name, ub in bounds[:-1]
     )
     return f"CASE {whens} ELSE '{bounds[-1][0]}' END"
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    by: str = "lang",
+    default_fraction: float = 1.0,
+    salt: str = "plp-sample",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (rebalance overrepresented
+    languages/domains before training): keep a row iff
+    md5(salt || ':' || id) < the stratum's hex threshold — the same
+    engine-independent mechanism as assign_split, so the sample is exactly
+    reproducible, subset-stable, and a pure codegen filter (no RNG, no
+    shuffle; Catalyst pushes it into the scan). Strata absent from
+    ``fractions`` keep ``default_fraction`` of their rows."""
+    def hex_bound(f: float) -> str:
+        return format(min(int(max(0.0, min(1.0, f)) * 16 ** 8), 16 ** 8 - 1),
+                      "08x")
+
+    entries = []
+    for k, f in fractions.items():
+        entries.extend([F.lit(k), F.lit(hex_bound(f))])
+    thresholds = F.create_map(*entries) if entries else None
+    h8 = F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8
+    )
+    bound = F.lit(hex_bound(default_fraction))
+    if thresholds is not None:
+        bound = F.coalesce(F.element_at(thresholds, F.col(by)), bound)
+    return docs.where(h8 < bound)
+
+
+def stratified_sample_sql(id_expr: str, by_expr: str,
+                          fractions: dict[str, float],
+                          default_fraction: float = 1.0,
+                          salt: str = "plp-sample") -> str:
+    """DuckDB twin of stratified_sample's keep-predicate (same literals)."""
+    def hex_bound(f: float) -> str:
+        return format(min(int(max(0.0, min(1.0, f)) * 16 ** 8), 16 ** 8 - 1),
+                      "08x")
+
+    whens = " ".join(
+        f"WHEN {by_expr} = '{k}' THEN '{hex_bound(f)}'"
+        for k, f in fractions.items()
+    )
+    case = (f"CASE {whens} ELSE '{hex_bound(default_fraction)}' END"
+            if whens else f"'{hex_bound(default_fraction)}'")
+    return f"substr(md5('{salt}:' || {id_expr}), 1, 8) < {case}"

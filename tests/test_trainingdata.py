@@ -209,6 +209,33 @@ class TestDedup:
                 for r in assign_split(ids.where("doc_id % 2 = 0")).collect()}
         assert all(a[k] == v for k, v in half.items())
 
+    def test_stratified_sample_fractions_and_stability(self, spark, docs):
+        from paper_layout_parser_spark.operators.curation import (
+            stratified_sample,
+        )
+
+        d = docs.select("doc_id", "lang")
+        by_lang_total = {r["lang"]: r["n"] for r in
+                         d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        kept = stratified_sample(d, {"en": 0.5}, default_fraction=0.1)
+        by_lang_kept = {r["lang"]: r["n"] for r in
+                        kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        en_frac = by_lang_kept.get("en", 0) / by_lang_total["en"]
+        assert 0.35 < en_frac < 0.65
+        for lang, total in by_lang_total.items():
+            if lang != "en" and total >= 20:
+                assert by_lang_kept.get(lang, 0) / total < 0.3
+        # deterministic + subset-stable: the kept set is a fixed function
+        # of (salt, id), so re-running and subsetting agree
+        ids1 = {r["doc_id"] for r in kept.select("doc_id").collect()}
+        ids2 = {r["doc_id"] for r in
+                stratified_sample(d, {"en": 0.5}, default_fraction=0.1)
+                .select("doc_id").collect()}
+        assert ids1 == ids2
+        # pure codegen filter: no exchange in the plan
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
     def test_decontaminate_flag_and_drop(self, spark):
         train = spark.createDataFrame(
             [(1, "a b c d"), (2, "x y z w"), (3, "q a b c")],
