@@ -1,0 +1,103 @@
+"""End-to-end training-corpus build — the engine's purpose, composed:
+
+  pages (url, warc_ts, html, text, lang)
+    -> extraction pipeline (plans.pipeline.run_pipeline: split-plan,
+       rasterize, detect+enrich, XY-cut, byte-identical doc_text)
+    -> curation funnel (operators.curation.clean_corpus: lang / quality /
+       exact-dup / decontamination, first-failure drop reasons)
+    -> corpus-level boilerplate-line removal (operators.dedup.dedup_lines)
+    -> deterministic train/val/test assignment (curation.assign_split)
+
+Each stage is the already-oracle-checked operator; this module is pure
+wiring (one relational plan per output, no new UDFs). The keyed id is the
+page URL throughout — every operator takes id_col/text_col, so the same
+composition runs over any (id, text) table (skip the extraction stage and
+start from documents directly via ``curate_documents``).
+
+At scale: checkpoint ``extracted`` through sources.catalog between the
+two phases (same cut point the batch job uses) so curation re-runs never
+re-rasterize; the curation phase's shuffles are all on narrow keys
+(xxhash64+length for dup rules, (hash, len) for line counts, url for the
+final reassembly).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.curation import (
+    DEFAULT_SPLIT_WEIGHTS,
+    assign_split,
+    clean_corpus,
+    curation_funnel,
+)
+from ..operators.dedup import dedup_lines
+
+
+@dataclass
+class CorpusBuildOutputs:
+    extracted: DataFrame   # url, doc_text (the byte-identity surface)
+    audit: DataFrame       # url, keep, drop_reason (funnel audit rows)
+    curated: DataFrame     # url, clean_text, n_lines_kept/dropped, split
+    funnel: DataFrame      # per-reason drop counts + kept
+
+
+def curate_documents(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    id_col: str = "url",
+    text_col: str = "doc_text",
+    lang: str = "en",
+    min_quality: float = 0.5,
+    max_line_occurrences: int = 1,
+    split_weights: dict[str, float] | None = None,
+    split_salt: str = "plp",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Curation phase over any (id, text) table: funnel audit ->
+    surviving docs -> corpus-level line dedup -> split assignment.
+    Returns (audit, curated, funnel)."""
+    audit = clean_corpus(
+        docs, benchmark=benchmark, lang=lang, min_quality=min_quality,
+        id_col=id_col, text_col=text_col,
+    )
+    kept = docs.join(audit.where(F.col("keep")), id_col, "left_semi")
+    deduped = dedup_lines(
+        kept, max_occurrences=max_line_occurrences,
+        id_col=id_col, text_col=text_col,
+    )
+    curated = assign_split(
+        deduped, weights=split_weights or DEFAULT_SPLIT_WEIGHTS,
+        salt=split_salt, id_col=id_col,
+    )
+    return audit, curated, curation_funnel(audit)
+
+
+def build_training_corpus(
+    pages: DataFrame,
+    benchmark: DataFrame | None = None,
+    lang: str = "en",
+    min_quality: float = 0.5,
+    max_line_occurrences: int = 1,
+    split_weights: dict[str, float] | None = None,
+    split_salt: str = "plp",
+    pipeline_kwargs: dict | None = None,
+) -> CorpusBuildOutputs:
+    """Full build: raw pages table -> extracted text -> curated, split
+    training corpus. ``benchmark`` (any table with a text column named
+    like ``text_col``... here ``doc_text``) enables decontamination."""
+    from .pipeline import run_pipeline
+
+    out = run_pipeline(pages, **(pipeline_kwargs or {}))
+    extracted = out.doc_text
+    audit, curated, funnel = curate_documents(
+        extracted, benchmark=benchmark, id_col="url", text_col="doc_text",
+        lang=lang, min_quality=min_quality,
+        max_line_occurrences=max_line_occurrences,
+        split_weights=split_weights, split_salt=split_salt,
+    )
+    return CorpusBuildOutputs(
+        extracted=extracted, audit=audit, curated=curated, funnel=funnel,
+    )

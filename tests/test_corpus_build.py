@@ -1,0 +1,72 @@
+"""End-to-end corpus build: extraction -> curation -> line dedup -> splits
+composed in one plan (plans.corpus_build)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from paper_layout_parser_spark.corpus import build_pages
+from paper_layout_parser_spark.plans.corpus_build import build_training_corpus
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    pages = build_pages(spark, SF_SMALL).where(
+        F.regexp_extract("url", r"([0-9]+)$", 1).cast("long") < 12
+    )
+    # plant an exact duplicate document under a different url: the funnel's
+    # duplicate rule must drop exactly one of the pair
+    dup = pages.where(
+        F.regexp_extract("url", r"([0-9]+)$", 1).cast("long") == 3
+    ).withColumn("url", F.concat(F.col("url"), F.lit("-mirror")))
+    # the synthetic layout text carries no language markers -> 'und'
+    return build_training_corpus(
+        pages.unionByName(dup), lang="und", min_quality=0.0,
+    )
+
+
+def test_funnel_accounts_for_every_document(built):
+    rows = {r["stage"]: r["n_docs"] for r in built.funnel.collect()}
+    assert sum(rows.values()) == 13            # 12 docs + 1 mirror
+    assert rows.get("duplicate") == 1          # exactly one of the pair
+    assert rows.get("kept") == 12
+
+
+def test_curated_output_shape_and_splits(built):
+    rows = built.curated.collect()
+    assert len(rows) == 12
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    # no corpus-wide duplicate lines in the synthetic text -> nothing
+    # dropped by the line rule; the cleaned text is the extracted text
+    extracted = {r["url"]: r["doc_text"] for r in built.extracted.collect()}
+    for r in rows:
+        assert r["n_lines_dropped"] == 0
+        assert r["clean_text"] == extracted[r["url"]]
+
+
+def test_duplicate_mirror_is_the_dropped_one(built):
+    audit = {r["url"]: r for r in built.audit.collect()}
+    # lowest id (the original url sorts before 'url-mirror') is kept
+    dropped = [u for u, r in audit.items() if not r["keep"]]
+    assert dropped and dropped[0].endswith("-mirror")
+    assert audit[dropped[0]]["drop_reason"] == "duplicate"
+
+
+def test_curation_phase_reusable_standalone(spark):
+    """curate_documents runs over ANY (id, text) table — no extraction."""
+    from paper_layout_parser_spark.plans.corpus_build import curate_documents
+
+    docs = spark.createDataFrame(
+        [("a", "unique alpha content here"),
+         ("b", "unique beta content here"),
+         ("c", "unique alpha content here")],   # exact dup of a
+        "url string, doc_text string",
+    )
+    audit, curated, funnel = curate_documents(
+        docs, lang="und", min_quality=0.0
+    )
+    assert {r["url"]: r["keep"] for r in audit.collect()} == {
+        "a": True, "b": True, "c": False
+    }
+    assert curated.count() == 2
