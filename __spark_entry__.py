@@ -567,6 +567,15 @@ def q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25}
 
 
+def q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk layout): every document's
+    position in per-bucket fixed-length token windows — relational window
+    cumsum, deterministic bucketing, oracle-checked bit-for-bit."""
+    from paper_layout_parser_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), max_tokens=256, num_buckets=8)
+
+
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language downsampling (rebalance overrepresented
     strata) — same md5-threshold mechanism, oracle-checked bit-for-bit."""
@@ -695,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "split": q_split,
         "sample": q_sample,
+        "pack": q_pack,
         "url_canon": q_url_canon,
         "pii_redact": q_pii_redact,
         "corpus_filter": q_corpus_filter,
@@ -955,6 +965,25 @@ def _sample_sql() -> str:
     return f"SELECT doc_id, lang FROM documents WHERE {pred}"
 
 
+def _pack_sql(max_tokens: int = 256, num_buckets: int = 8) -> str:
+    from paper_layout_parser_spark.operators.packing import bucket_sql
+
+    b = bucket_sql("doc_id", num_buckets)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {b} AS bucket, len({_W}) AS n_tokens FROM documents
+),
+s AS (SELECT * FROM t WHERE n_tokens > 0),
+c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM s)
+SELECT doc_id, bucket, n_tokens,
+       cum - n_tokens AS start_token,
+       CAST(floor((cum - n_tokens) / {max_tokens}) AS BIGINT) AS start_seq,
+       (cum - n_tokens) % {max_tokens} AS start_offset,
+       CAST(floor((cum - 1) / {max_tokens}) AS BIGINT) AS end_seq
+FROM c"""
+
+
 def _url_canon_sql() -> str:
     from paper_layout_parser_spark.functions.url import canonical_url_sql
 
@@ -1173,6 +1202,7 @@ FROM documents""",
         "repetition": _repetition_sql(),
         "split": _split_sql(),
         "sample": _sample_sql(),
+        "pack": _pack_sql(),
         "url_canon": _url_canon_sql(),
         "sketch_stats": """
 SELECT lang, count(DISTINCT n_chars) AS n_distinct,

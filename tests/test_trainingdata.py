@@ -236,6 +236,39 @@ class TestDedup:
         plan = kept._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
 
+    def test_pack_sequences_layout_invariants(self, spark, docs):
+        """Concat-and-chunk packing: per bucket, documents tile the token
+        stream contiguously with no gaps/overlaps, window arithmetic is
+        consistent, and the stats report reconciles."""
+        from paper_layout_parser_spark.operators.packing import (
+            pack_sequences,
+            packing_stats,
+        )
+
+        L = 128
+        packed = pack_sequences(docs, max_tokens=L, num_buckets=4)
+        rows = sorted((r["bucket"], r["doc_id"], r) for r in packed.collect())
+        assert rows
+        by_bucket: dict[int, list] = {}
+        for b, _, r in rows:
+            by_bucket.setdefault(b, []).append(r)
+        assert len(by_bucket) == 4
+        for b, rs in by_bucket.items():
+            expect_start = 0
+            for r in rs:                      # id order within bucket
+                assert r["start_token"] == expect_start      # contiguous
+                assert r["start_seq"] == r["start_token"] // L
+                assert r["start_offset"] == r["start_token"] % L
+                assert r["end_seq"] == (r["start_token"] + r["n_tokens"] - 1) // L
+                expect_start += r["n_tokens"]
+        stats = {r["bucket"]: r for r in packing_stats(packed, L).collect()}
+        for b, rs in by_bucket.items():
+            total = sum(r["n_tokens"] for r in rs)
+            s = stats[b]
+            assert s["n_docs"] == len(rs) and s["total_tokens"] == total
+            assert s["n_sequences"] == (total - 1) // L + 1
+            assert 0 < s["last_window_tokens"] <= L
+
     def test_decontaminate_flag_and_drop(self, spark):
         train = spark.createDataFrame(
             [(1, "a b c d"), (2, "x y z w"), (3, "q a b c")],
