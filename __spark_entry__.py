@@ -232,6 +232,59 @@ def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (union + window, one shuffle) vs DuckDB's NATIVE ASOF
+    JOIN — each click joined to the user's most recent purchase at or
+    before it. The right side is pre-aggregated to unique (user, ts) so
+    'the' as-of row is well-defined in both engines."""
+    from paper_layout_parser_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    left = ev.where("event_type = 'click'").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = (
+        ev.where("event_type = 'purchase'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("r_value"), F.max("event_id").alias("r_id"))
+    )
+    out = asof_join(left, right, on=["user_id"], ts_col="ts")
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        F.col("ts_r").alias("matched_ts"),
+        F.col("r_value_r").alias("matched_value"),
+        F.col("r_id_r").alias("matched_id"),
+    )
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join via time buckets: every error event assigned
+    to the session containing it (sessions from the batch sessionizer).
+    Oracle: DuckDB inequality join over the same session CTE."""
+    from paper_layout_parser_spark.operators.temporal import interval_join
+    from paper_layout_parser_spark.streaming.ingest import sessionize_batch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    sessions = sessionize_batch(ev, gap_minutes=30).select(
+        "user_id",
+        F.col("session_start").cast("timestamp").alias("session_start"),
+        F.col("session_end").cast("timestamp").alias("session_end"),
+        "session_id",
+    )
+    errors = ev.where("event_type = 'error'").select("event_id", "user_id", "ts")
+    out = interval_join(
+        errors, sessions, on=["user_id"], ts_col="ts",
+        start_col="session_start", end_col="session_end",
+        bucket_seconds=1800,
+    )
+    return out.select("event_id", "user_id", "ts", "session_id",
+                      "session_start", "session_end")
+
+
 def q_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4-style semi-structured ingestion: parse the events.props JSON
     column with an explicit schema and aggregate on the extracted field."""
@@ -681,6 +734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_repair": q_json_repair,
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
+        "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
         "props_parse": q_props_parse,
         "doc_result_json": q_doc_result_json,
         "summary_documents": q_summary_documents,
@@ -1011,6 +1066,36 @@ SELECT doc_id,
 FROM r"""
 
 
+_ASOF_SQL = """
+WITH l AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, ts, max(value) AS r_value, max(event_id) AS r_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id, l.ts, l.value,
+       r.ts AS matched_ts, r.r_value AS matched_value, r.r_id AS matched_id
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
+_INTERVAL_SQL = """
+WITH lg AS (
+  SELECT user_id, ts,
+         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+  FROM events
+),
+f AS (SELECT *, CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_session FROM lg),
+s AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM f),
+sess AS (SELECT user_id, session_id, min(ts) AS session_start,
+                max(ts) AS session_end
+         FROM s GROUP BY user_id, session_id)
+SELECT e.event_id, e.user_id, e.ts, sess.session_id,
+       sess.session_start, sess.session_end
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+JOIN sess ON e.user_id = sess.user_id
+         AND e.ts >= sess.session_start AND e.ts <= sess.session_end"""
+
 _SESSIONIZE_SQL = """
 WITH l AS (
   SELECT user_id, ts, value,
@@ -1091,6 +1176,8 @@ GROUP BY url""",
         "json_repair": _json_repair_sql(),
         "sessionize": _SESSIONIZE_SQL,
         "event_windows": _EVENT_WINDOWS_SQL,
+        "asof_join": _ASOF_SQL,
+        "interval_join": _INTERVAL_SQL,
         "props_parse": """
 SELECT event_type, count(*) AS n,
        CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

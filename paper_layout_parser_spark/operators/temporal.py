@@ -1,0 +1,129 @@
+"""Temporal joins Spark lacks as built-ins: AS-OF join and interval
+(range) join — the two standard event-stream operators a telemetry /
+training-data pipeline needs (join each event to the latest prior state;
+assign events to containing sessions/windows).
+
+Both are expressed as compositions of existing DataFrame ops (no UDFs):
+
+  * ``asof_join``     — the union + window trick: tag both sides, sort
+    each key's merged timeline once, and carry the last (or next) right
+    row forward with last(ignorenulls) over the running frame. ONE
+    shuffle on the join keys, O(n log n) per key — never the naive
+    inequality join's per-key cross product. The right row rides as a
+    single STRUCT so the matched payload is atomic (per-column
+    last-non-null could mix rows when right columns contain nulls).
+  * ``interval_join`` — bucketed range join: intervals explode into the
+    fixed-width buckets they cover, points land in exactly one bucket,
+    the join is EQUI on (keys, bucket) with the containment predicate as
+    a post-filter. Shuffle is O(points + intervals x buckets_covered);
+    pick ``bucket_seconds`` near the typical interval length so the
+    explode factor stays small. A (point, interval) pair meets only in
+    the point's bucket, so no dedup pass is needed.
+
+The as-of oracle is DuckDB's NATIVE ``ASOF JOIN`` — two independent
+implementations of the semantics checked bit-for-bit by the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    direction: str = "backward",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Left as-of join: every left row gets the right row with the
+    greatest ``ts_col`` <= its own (direction='backward'; 'forward' takes
+    the smallest >=). Equal timestamps match. Unmatched left rows keep
+    NULL right columns (left-outer semantics).
+
+    Right columns (except the keys) come back suffixed. For deterministic
+    output the right side should be unique per (keys, ts) — pre-aggregate
+    it otherwise (several right rows sharing the boundary timestamp make
+    "the" as-of row ambiguous in any engine)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
+    payload = [c for c in right.columns if c not in on]
+    r = right.select(
+        *on,
+        F.col(ts_col).alias("__ts"),
+        F.struct(*[F.col(c) for c in payload]).alias("__r"),
+    )
+    payload_type = r.schema["__r"].dataType
+    # at equal ts the right row must fall INSIDE the left row's frame:
+    # backward frame ends at the current row -> right sorts first;
+    # forward frame starts at the current row -> right sorts last
+    right_side = 0 if direction == "backward" else 1
+    l = left.select(
+        "*",
+        F.col(ts_col).alias("__ts"),
+        F.lit(None).cast(payload_type).alias("__r"),
+    ).withColumn("__side", F.lit(1 - right_side))
+    r = r.withColumn("__side", F.lit(right_side))
+    merged = l.unionByName(r, allowMissingColumns=True)
+    order = [F.col("__ts").asc(), F.col("__side").asc()]
+    if direction == "backward":
+        w = (Window.partitionBy(*on).orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, 0))
+        matched = F.last("__r", ignorenulls=True).over(w)
+    else:
+        w = (Window.partitionBy(*on).orderBy(*order)
+             .rowsBetween(0, Window.unboundedFollowing))
+        matched = F.first("__r", ignorenulls=True).over(w)
+    return (
+        merged.withColumn("__m", matched)
+        .where(F.col("__side") == (1 - right_side))
+        .select(*[F.col(c) for c in left.columns],
+                *[F.col("__m")[c].alias(f"{c}{suffix}") for c in payload])
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to every interval row (same keys) with
+    start <= ts <= end (closed interval), via fixed-width time buckets so
+    the join stays EQUI on (keys, bucket). ``how`` in ('inner', 'left').
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unknown how {how!r}")
+    b = F.lit(bucket_seconds)
+    p = points.withColumn(
+        "__bucket", F.floor(F.col(ts_col).cast("timestamp").cast("long") / b)
+    )
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(F.sequence(
+            F.floor(F.col(start_col).cast("timestamp").cast("long") / b),
+            F.floor(F.col(end_col).cast("timestamp").cast("long") / b),
+        )),
+    )
+    cond = (
+        (F.col(ts_col).cast("timestamp") >= F.col(start_col).cast("timestamp"))
+        & (F.col(ts_col).cast("timestamp") <= F.col(end_col).cast("timestamp"))
+    )
+    joined = p.join(iv, [*on, "__bucket"], "inner").where(cond).drop("__bucket")
+    if how == "inner":
+        return joined
+    # left: re-attach points with no containing interval
+    matched_keys = joined.select(*points.columns).distinct()
+    unmatched = points.join(matched_keys, points.columns, "left_anti")
+    for c in intervals.columns:
+        if c not in on and c not in points.columns:
+            unmatched = unmatched.withColumn(
+                c, F.lit(None).cast(dict(intervals.dtypes)[c])
+            )
+    return joined.unionByName(unmatched.select(*joined.columns))

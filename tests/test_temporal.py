@@ -1,0 +1,121 @@
+"""AS-OF and interval join semantics (operators.temporal) — hand-built
+timelines covering ties, unmatched rows, both directions, null right
+columns (atomic struct payload), and bucket-boundary intervals."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from paper_layout_parser_spark.operators.temporal import asof_join, interval_join
+
+
+def _ts(minute):
+    return dt.datetime(2020, 1, 1, 0, minute)
+
+
+@pytest.fixture()
+def sides(spark):
+    left = spark.createDataFrame(
+        [(1, "u", _ts(5)), (2, "u", _ts(10)), (3, "u", _ts(2)),
+         (4, "v", _ts(7)), (5, "w", _ts(1))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", _ts(4), 40.0, None), ("u", _ts(10), 100.0, "x"),
+         ("v", _ts(9), 90.0, "y")],
+        "user_id string, ts timestamp, amount double, tag string",
+    )
+    return left, right
+
+
+class TestAsofJoin:
+    def test_backward_with_ties_and_unmatched(self, spark, sides):
+        left, right = sides
+        got = {r["event_id"]: r for r in
+               asof_join(left, right, on=["user_id"]).collect()}
+        assert got[1]["ts_r"] == _ts(4)          # latest <= 0:05
+        assert got[2]["ts_r"] == _ts(10)         # equal ts matches
+        assert got[2]["amount_r"] == 100.0
+        assert got[3]["ts_r"] is None            # nothing before 0:02
+        assert got[4]["ts_r"] is None            # v's purchase is later
+        assert got[5]["ts_r"] is None            # w has no right rows
+        # atomic payload: tag (NULL on the 0:04 row) comes from the SAME
+        # row as amount — never mixed with another row's non-null tag
+        assert got[1]["amount_r"] == 40.0 and got[1]["tag_r"] is None
+
+    def test_forward_direction(self, spark, sides):
+        left, right = sides
+        got = {r["event_id"]: r for r in
+               asof_join(left, right, on=["user_id"],
+                         direction="forward").collect()}
+        assert got[3]["ts_r"] == _ts(4)          # earliest >= 0:02
+        assert got[1]["ts_r"] == _ts(10)
+        assert got[2]["ts_r"] == _ts(10)         # equal ts matches forward too
+        assert got[4]["ts_r"] == _ts(9)
+        assert got[5]["ts_r"] is None
+
+    def test_matches_python_reference_on_random_timeline(self, spark):
+        import random
+
+        rnd = random.Random(7)
+        lrows = [(i, f"u{rnd.randrange(3)}", _ts(rnd.randrange(59)))
+                 for i in range(60)]
+        rrows = list({(f"u{rnd.randrange(3)}", _ts(rnd.randrange(59)))
+                      for _ in range(25)})
+        right_rows = [(u, t, float(i)) for i, (u, t) in enumerate(sorted(rrows))]
+        left = spark.createDataFrame(
+            lrows, "event_id long, user_id string, ts timestamp")
+        right = spark.createDataFrame(
+            right_rows, "user_id string, ts timestamp, v double")
+        got = {r["event_id"]: (r["ts_r"], r["v_r"]) for r in
+               asof_join(left, right, on=["user_id"]).collect()}
+        by_user: dict[str, list] = {}
+        for u, t, v in right_rows:
+            by_user.setdefault(u, []).append((t, v))
+        for eid, u, t in lrows:
+            cands = [(rt, v) for rt, v in by_user.get(u, []) if rt <= t]
+            exp = max(cands) if cands else (None, None)
+            assert got[eid] == exp, (eid, u, t)
+
+
+class TestIntervalJoin:
+    def test_containment_and_bucket_boundaries(self, spark):
+        points = spark.createDataFrame(
+            [(1, "u", _ts(5)), (2, "u", _ts(30)), (3, "u", _ts(59)),
+             (4, "v", _ts(5))],
+            "event_id long, user_id string, ts timestamp",
+        )
+        intervals = spark.createDataFrame(
+            [("u", _ts(0), _ts(10), 100), ("u", _ts(28), _ts(31), 200),
+             ("u", _ts(5), _ts(45), 300)],
+            "user_id string, start timestamp, end timestamp, iv_id long",
+        )
+        # tiny buckets force multi-bucket intervals; results must not dup
+        got = sorted(
+            (r["event_id"], r["iv_id"]) for r in
+            interval_join(points, intervals, on=["user_id"],
+                          bucket_seconds=120).collect()
+        )
+        assert got == [(1, 100), (1, 300), (2, 200), (2, 300)]
+        # closed interval: boundary timestamps match
+        b = interval_join(
+            spark.createDataFrame([(9, "u", _ts(10))],
+                                  "event_id long, user_id string, ts timestamp"),
+            intervals, on=["user_id"], bucket_seconds=120,
+        ).collect()
+        assert {(r["event_id"], r["iv_id"]) for r in b} == {(9, 100), (9, 300)}
+
+    def test_left_keeps_unmatched_points(self, spark):
+        points = spark.createDataFrame(
+            [(1, "u", _ts(5)), (2, "u", _ts(50))],
+            "event_id long, user_id string, ts timestamp",
+        )
+        intervals = spark.createDataFrame(
+            [("u", _ts(0), _ts(10), 7)],
+            "user_id string, start timestamp, end timestamp, iv_id long",
+        )
+        got = {r["event_id"]: r["iv_id"] for r in
+               interval_join(points, intervals, on=["user_id"],
+                             how="left").collect()}
+        assert got == {1: 7, 2: None}
