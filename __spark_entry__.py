@@ -285,6 +285,20 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "session_start", "session_end")
 
 
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: 5min/hour/day counts and
+    an exact integer sum (props.k) — coarser grains re-aggregated from the
+    finest, oracle vs three direct DuckDB aggregations."""
+    from paper_layout_parser_spark.operators.temporal import time_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.from_json(F.col("props"), "struct<k: long>").getField("k")
+    return time_rollup(
+        ev.withColumn("k", k), granularities=[300, 3600, 86400],
+        keys=["event_type"], sum_col="k",
+    )
+
+
 def q_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4-style semi-structured ingestion: parse the events.props JSON
     column with an explicit schema and aggregate on the extracted field."""
@@ -736,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": q_event_windows,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
+        "time_rollup": q_time_rollup,
         "props_parse": q_props_parse,
         "doc_result_json": q_doc_result_json,
         "summary_documents": q_summary_documents,
@@ -1096,6 +1111,17 @@ FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
 JOIN sess ON e.user_id = sess.user_id
          AND e.ts >= sess.session_start AND e.ts <= sess.session_end"""
 
+def _time_rollup_sql() -> str:
+    level = lambda g: f"""
+SELECT CAST({g} AS BIGINT) AS granularity,
+       make_timestamp(CAST(floor(epoch(ts) / {g}) * {g} * 1000000 AS BIGINT))
+         AS window_start,
+       event_type, count(*) AS n_events,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY 2, 3"""  # noqa: E731
+    return "\nUNION ALL\n".join(level(g) for g in (300, 3600, 86400))
+
+
 _SESSIONIZE_SQL = """
 WITH l AS (
   SELECT user_id, ts, value,
@@ -1178,6 +1204,7 @@ GROUP BY url""",
         "event_windows": _EVENT_WINDOWS_SQL,
         "asof_join": _ASOF_SQL,
         "interval_join": _INTERVAL_SQL,
+        "time_rollup": _time_rollup_sql(),
         "props_parse": """
 SELECT event_type, count(*) AS n,
        CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

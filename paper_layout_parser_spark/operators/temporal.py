@@ -84,6 +84,79 @@ def asof_join(
     )
 
 
+def time_rollup(
+    events: DataFrame,
+    granularities: list[int],
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+    sum_col: str | None = None,
+    persist_levels: bool = True,
+) -> DataFrame:
+    """Hypertable-style continuous rollup: per-key counts (and an exact
+    integer sum) at SEVERAL time granularities in one logical pass.
+
+    The raw table is aggregated ONCE at the finest granularity; every
+    coarser grain re-aggregates the previous rollup (counts/sums are
+    mergeable), so the full-table scan+shuffle happens exactly once and
+    each coarser level shuffles only the (much smaller) rollup — the
+    TimescaleDB continuous-aggregate trick expressed relationally.
+    Granularities must nest (each a multiple of the previous; validated).
+
+    ``sum_col`` must be integer-typed: integer sums are exact and
+    order-independent, so the result is engine-comparable; a double sum
+    is not associative and is deliberately not offered here (pre-scale
+    doubles to integers if needed).
+
+    ``persist_levels`` (default True) caches each rollup level before the
+    next re-aggregates it — WITHOUT it, Spark's union duplicates the base
+    subplan per granularity and the raw source is scanned once per level
+    (caught by the single-scan plan test). The cached levels are rollup-
+    sized (tiny vs the source); on a cluster, checkpoint them to the
+    catalog instead, which is exactly a TimescaleDB continuous aggregate.
+
+    Returns (granularity, window_start, *keys, n_events[, sum_<col>])."""
+    keys = keys if keys is not None else ["event_type"]
+    gs = sorted(granularities)
+    if not gs:
+        raise ValueError("need at least one granularity")
+    for a, b in zip(gs, gs[1:]):
+        if b % a != 0:
+            raise ValueError(f"granularities must nest: {b} % {a} != 0")
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    sum_alias = f"sum_{sum_col}" if sum_col else None
+    aggs = [F.count("*").alias("n_events")]
+    if sum_col:
+        aggs.append(F.sum(sum_col).cast("long").alias(sum_alias))
+    base = (
+        events.withColumn("__b", F.floor(epoch / gs[0]) * gs[0])
+        .groupBy("__b", *keys).agg(*aggs)
+    )
+    if persist_levels and len(gs) > 1:
+        base = base.persist()
+    levels = [base.withColumn("granularity", F.lit(gs[0]).cast("long"))]
+    prev = base
+    for i, g in enumerate(gs[1:]):
+        re_aggs = [F.sum("n_events").cast("long").alias("n_events")]
+        if sum_col:
+            re_aggs.append(F.sum(sum_alias).cast("long").alias(sum_alias))
+        prev = (
+            prev.withColumn("__b", F.floor(F.col("__b") / g) * g)
+            .groupBy("__b", *keys).agg(*re_aggs)
+        )
+        if persist_levels and i < len(gs) - 2:
+            prev = prev.persist()
+        levels.append(prev.withColumn("granularity", F.lit(g).cast("long")))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    cols = ["granularity",
+            F.timestamp_seconds(F.col("__b")).alias("window_start"),
+            *keys, "n_events"]
+    if sum_col:
+        cols.append(sum_alias)
+    return out.select(*cols)
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,
