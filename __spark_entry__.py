@@ -971,14 +971,17 @@ SELECT doc_id,
 FROM n"""
 
 
-def _line_dedup_sql(max_occurrences: int = 10) -> str:
+def _line_dedup_sql(max_occurrences: int = 10,
+                    min_line_chars: int = 1) -> str:
     return f"""
 WITH n AS ({_NOISY_LINES_SQL}),
 ls AS (SELECT doc_id, string_split(t, chr(10)) AS arr FROM n),
 l AS (SELECT doc_id, generate_subscripts(arr, 1) AS line_no,
              unnest(arr) AS line FROM ls),
 c AS (SELECT line, count(*) AS cnt FROM l GROUP BY line),
-k AS (SELECT l.doc_id, l.line_no, l.line, c.cnt <= {max_occurrences} AS keep
+k AS (SELECT l.doc_id, l.line_no, l.line,
+             (c.cnt <= {max_occurrences}
+              OR length(l.line) < {min_line_chars}) AS keep
       FROM l JOIN c USING (line))
 SELECT doc_id,
        md5(COALESCE(string_agg(line, chr(10) ORDER BY line_no)
@@ -1039,9 +1042,12 @@ def _pack_sql(max_tokens: int = 256, num_buckets: int = 8) -> str:
     from paper_layout_parser_spark.operators.packing import bucket_sql
 
     b = bucket_sql("doc_id", num_buckets)
+    # split('') yields [''] — mirror the Spark side's explicit zeroing of
+    # empty/whitespace-only docs
+    ntok = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_W}) END"
     return f"""
 WITH t AS (
-  SELECT doc_id, {b} AS bucket, len({_W}) AS n_tokens FROM documents
+  SELECT doc_id, {b} AS bucket, {ntok} AS n_tokens FROM documents
 ),
 s AS (SELECT * FROM t WHERE n_tokens > 0),
 c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id

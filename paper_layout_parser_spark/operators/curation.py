@@ -154,17 +154,33 @@ def top_ngram_char_fraction(
     )
 
 
+def hex_bound(f: float) -> str:
+    """The md5-prefix threshold for cumulative fraction ``f`` — the ONE
+    shared implementation every hex-threshold operator (assign_split,
+    stratified_sample, packing.bucket_bounds) and its DuckDB twin use, so
+    the engine-portability-critical literal cannot drift between copies.
+
+    f >= 1.0 returns 'g' — lexicographically greater than every hex
+    string, so a strict ``<`` keeps EVERYTHING (an 'ffffffff' cap with
+    strict < would drop each row with probability 2^-32: real documents
+    at 10^9+ scale)."""
+    f = max(0.0, min(1.0, f))
+    if f >= 1.0:
+        return "g"
+    return format(int(f * 16 ** 8), "08x")
+
+
 def split_bounds(weights: dict[str, float]) -> list[tuple[str, str]]:
-    """(name, inclusive-exclusive upper bound as an 8-hex-digit string) per
-    split, partitioning [0, 16^8) proportionally to the weights. Shared by
-    the Spark expression and the DuckDB oracle so both engines compare the
-    SAME literals."""
+    """(name, inclusive-exclusive upper bound as a hex-threshold string)
+    per split, partitioning [0, 16^8) proportionally to the weights.
+    Shared by the Spark expression and the DuckDB oracle so both engines
+    compare the SAME literals."""
     total = sum(weights.values())
     acc = 0.0
     bounds = []
     for name, wt in weights.items():
         acc += wt / total
-        bounds.append((name, format(min(int(acc * 16 ** 8), 16 ** 8 - 1), "08x")))
+        bounds.append((name, hex_bound(acc)))
     return bounds
 
 
@@ -210,6 +226,8 @@ def assign_split_sql(id_expr: str, weights: dict[str, float] | None = None,
     whens = " ".join(
         f"WHEN {h8} < '{ub}' THEN '{name}'" for name, ub in bounds[:-1]
     )
+    if not whens:  # single split: a WHEN-less CASE is a DuckDB parse error
+        return f"'{bounds[-1][0]}'"
     return f"CASE {whens} ELSE '{bounds[-1][0]}' END"
 
 
@@ -227,11 +245,9 @@ def stratified_sample(
     engine-independent mechanism as assign_split, so the sample is exactly
     reproducible, subset-stable, and a pure codegen filter (no RNG, no
     shuffle; Catalyst pushes it into the scan). Strata absent from
-    ``fractions`` keep ``default_fraction`` of their rows."""
-    def hex_bound(f: float) -> str:
-        return format(min(int(max(0.0, min(1.0, f)) * 16 ** 8), 16 ** 8 - 1),
-                      "08x")
-
+    ``fractions`` keep ``default_fraction`` of their rows (1.0 keeps them
+    ALL — the hex_bound 'g' sentinel, not an 'ffffffff' cap that would
+    drop one row in 2^32)."""
     entries = []
     for k, f in fractions.items():
         entries.extend([F.lit(k), F.lit(hex_bound(f))])
@@ -250,10 +266,6 @@ def stratified_sample_sql(id_expr: str, by_expr: str,
                           default_fraction: float = 1.0,
                           salt: str = "plp-sample") -> str:
     """DuckDB twin of stratified_sample's keep-predicate (same literals)."""
-    def hex_bound(f: float) -> str:
-        return format(min(int(max(0.0, min(1.0, f)) * 16 ** 8), 16 ** 8 - 1),
-                      "08x")
-
     whens = " ".join(
         f"WHEN {by_expr} = '{k}' THEN '{hex_bound(f)}'"
         for k, f in fractions.items()

@@ -329,13 +329,21 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
 
 
 def dedup_lines(docs: DataFrame, max_occurrences: int = 1,
-                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                id_col: str = "doc_id", text_col: str = "text",
+                min_line_chars: int = 1) -> DataFrame:
     """CORPUS-level line deduplication — the classic web-corpus boilerplate
     filter (C4 / CCNet / RefinedWeb all apply a variant): any line whose
     verbatim occurrence count ACROSS THE CORPUS exceeds ``max_occurrences``
     is dropped from every document ("Share on Facebook", cookie notices,
     nav menus), and each document's text is reassembled from its surviving
     lines in original order.
+
+    Lines shorter than ``min_line_chars`` are EXEMPT from the rule and
+    always kept — with the default (1), blank lines survive, so paragraph
+    breaks are preserved (a corpus-wide count would classify the empty
+    string itself as viral boilerplate and silently collapse every
+    document's paragraph structure). Raise it to also exempt trivially
+    short separator lines.
 
     Returns (id, clean_text, n_lines_kept, n_lines_dropped) — one row per
     input document (a fully-boilerplate doc keeps the row with empty text).
@@ -354,7 +362,9 @@ def dedup_lines(docs: DataFrame, max_occurrences: int = 1,
     ).withColumn("__h", F.xxhash64("line")).withColumn("__len", F.length("line"))
     counts = lines.groupBy("__h", "__len").agg(F.count("*").alias("__cnt"))
     flagged = lines.join(counts, ["__h", "__len"]).withColumn(
-        "__keep", F.col("__cnt") <= max_occurrences
+        "__keep",
+        (F.col("__cnt") <= max_occurrences)
+        | (F.col("__len") < min_line_chars),
     )
     folded = flagged.groupBy(id_col).agg(
         F.array_sort(

@@ -34,14 +34,14 @@ PACK_SALT = "pack"
 
 
 def bucket_bounds(num_buckets: int) -> list[str]:
-    """Upper bound (8-hex-digit string) of each bucket's slice of the md5
-    space — the same engine-independent hex-threshold mechanism as
+    """Upper bound (hex-threshold string) of each bucket's slice of the
+    md5 space — the same engine-independent mechanism as
     curation.assign_split (DuckDB has no hex->int cast, string comparison
-    works everywhere)."""
-    return [
-        format(min(int((i + 1) / num_buckets * 16 ** 8), 16 ** 8 - 1), "08x")
-        for i in range(num_buckets)
-    ]
+    works everywhere); the shared curation.hex_bound keeps the literal
+    identical across all threshold operators."""
+    from .curation import hex_bound
+
+    return [hex_bound((i + 1) / num_buckets) for i in range(num_buckets)]
 
 
 def _bucket_of(id_col: str, num_buckets: int):
@@ -66,6 +66,8 @@ def bucket_sql(id_expr: str, num_buckets: int) -> str:
     whens = " ".join(
         f"WHEN {h8} < '{ub}' THEN {i}" for i, ub in enumerate(bounds[:-1])
     )
+    if not whens:  # one bucket: a WHEN-less CASE is a DuckDB parse error
+        return "CAST(0 AS BIGINT)"
     return f"CAST(CASE {whens} ELSE {num_buckets - 1} END AS BIGINT)"
 
 
@@ -87,7 +89,12 @@ def pack_sequences(
     pack). The cumsum window partitions by bucket — state is one running
     total per bucket, and each bucket is an independent shard, so the op
     scales by raising ``num_buckets``, never by a global sort."""
-    toks = token_counts(F.col(text_col))["ws_tokens"]
+    # split('') yields [''] (one phantom token), so empty/whitespace-only
+    # docs must be zeroed explicitly or they shift every later document's
+    # offsets in the packed stream
+    raw_toks = token_counts(F.col(text_col))["ws_tokens"]
+    toks = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)) \
+        .otherwise(raw_toks)
     sized = docs.select(
         F.col(id_col),
         _bucket_of(id_col, num_buckets),

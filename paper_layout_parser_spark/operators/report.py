@@ -253,7 +253,9 @@ def build_reports(
     per_doc = evaluation_summary(comparisons, per_url=True)
     rollup = batch_rollup(per_doc).first().asDict()
     per_type = [r.asDict() for r in per_type_metrics(comparisons).collect()]
-    n_evaluated = per_doc.count()
+    # batch_rollup already counted the per-doc rows — a separate count()
+    # would recompute the whole evaluation aggregation a third time
+    n_evaluated = int(rollup["total_documents"] or 0)
     per_doc_rows = [
         r.asDict() for r in per_doc.orderBy("url").limit(max_documents).collect()
     ]

@@ -163,14 +163,13 @@ def train_ivf_centroids(embeddings: DataFrame, num_centroids: int = 16,
     At 100 TB the centroid table stays driver-sized while every heavy step
     is a single scan — the standard IVF trade (train on a sample if even
     the scans are too many; the assignment plan is unchanged)."""
-    n = embeddings.count()
-    num_centroids = max(1, min(num_centroids, n))
     # init: a deterministic pseudo-random sample via hash-ordered top-N —
     # orderBy+limit plans as TakeOrderedAndProject (distributed top-N),
-    # never a global sort; no RNG, so runs/engines agree
+    # never a global sort; no RNG, so runs/engines agree. The limit also
+    # clamps num_centroids to the corpus size for free (no count() scan).
     init = (
         embeddings.orderBy(F.xxhash64(F.col(id_col).cast("string")), id_col)
-        .limit(num_centroids)
+        .limit(max(1, num_centroids))
         .select(vec_col)
         .collect()
     )

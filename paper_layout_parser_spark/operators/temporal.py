@@ -111,8 +111,12 @@ def time_rollup(
     next re-aggregates it — WITHOUT it, Spark's union duplicates the base
     subplan per granularity and the raw source is scanned once per level
     (caught by the single-scan plan test). The cached levels are rollup-
-    sized (tiny vs the source); on a cluster, checkpoint them to the
-    catalog instead, which is exactly a TimescaleDB continuous aggregate.
+    sized (tiny vs the source) and ride on the returned DataFrame as
+    ``.rollup_levels`` — long-running callers should
+    ``for lv in out.rollup_levels: lv.unpersist()`` after their action
+    (cached frames are held by the cache manager, not GC). On a cluster,
+    checkpoint the levels to the catalog instead, which is exactly a
+    TimescaleDB continuous aggregate.
 
     Returns (granularity, window_start, *keys, n_events[, sum_<col>])."""
     keys = keys if keys is not None else ["event_type"]
@@ -131,8 +135,10 @@ def time_rollup(
         events.withColumn("__b", F.floor(epoch / gs[0]) * gs[0])
         .groupBy("__b", *keys).agg(*aggs)
     )
+    persisted = []
     if persist_levels and len(gs) > 1:
         base = base.persist()
+        persisted.append(base)
     levels = [base.withColumn("granularity", F.lit(gs[0]).cast("long"))]
     prev = base
     for i, g in enumerate(gs[1:]):
@@ -145,6 +151,7 @@ def time_rollup(
         )
         if persist_levels and i < len(gs) - 2:
             prev = prev.persist()
+            persisted.append(prev)
         levels.append(prev.withColumn("granularity", F.lit(g).cast("long")))
     out = levels[0]
     for lv in levels[1:]:
@@ -154,7 +161,10 @@ def time_rollup(
             *keys, "n_events"]
     if sum_col:
         cols.append(sum_alias)
-    return out.select(*cols)
+    result = out.select(*cols)
+    # expose the persisted intermediates so callers can release them
+    result.rollup_levels = persisted
+    return result
 
 
 def interval_join(
@@ -191,9 +201,20 @@ def interval_join(
     joined = p.join(iv, [*on, "__bucket"], "inner").where(cond).drop("__bucket")
     if how == "inner":
         return joined
-    # left: re-attach points with no containing interval
-    matched_keys = joined.select(*points.columns).distinct()
-    unmatched = points.join(matched_keys, points.columns, "left_anti")
+    # left: re-attach points with no containing interval. The anti-join
+    # must use NULL-SAFE equality — with plain equality a matched point
+    # carrying a NULL column fails to anti-join against itself and comes
+    # back a second time as spuriously unmatched
+    import functools
+
+    matched_keys = joined.select(*points.columns).distinct().alias("__mk")
+    p = points.alias("__pt")
+    anti_cond = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(f"__pt.{c}").eqNullSafe(F.col(f"__mk.{c}"))
+         for c in points.columns],
+    )
+    unmatched = p.join(matched_keys, anti_cond, "left_anti")
     for c in intervals.columns:
         if c not in on and c not in points.columns:
             unmatched = unmatched.withColumn(

@@ -165,3 +165,20 @@ class TestIntervalJoin:
                interval_join(points, intervals, on=["user_id"],
                              how="left").collect()}
         assert got == {1: 7, 2: None}
+
+    def test_left_with_null_point_columns_no_duplicates(self, spark):
+        """A matched point carrying a NULL column must not come back a
+        second time as spuriously unmatched (the anti-join is null-safe)."""
+        points = spark.createDataFrame(
+            [(1, "u", _ts(5), None), (2, "u", _ts(50), 9.0)],
+            "event_id long, user_id string, ts timestamp, payload double",
+        )
+        intervals = spark.createDataFrame(
+            [("u", _ts(0), _ts(10), 7)],
+            "user_id string, start timestamp, end timestamp, iv_id long",
+        )
+        rows = interval_join(points, intervals, on=["user_id"],
+                             how="left").collect()
+        assert len(rows) == 2
+        got = {r["event_id"]: r["iv_id"] for r in rows}
+        assert got == {1: 7, 2: None}

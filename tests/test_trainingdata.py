@@ -154,6 +154,28 @@ class TestDedup:
                  dd.dedup_lines(df, max_occurrences=10).collect()}
         assert loose == {r[0]: r[1] for r in rows}
 
+    def test_dedup_lines_preserves_blank_lines(self, spark):
+        """Blank lines are corpus-wide 'duplicates' by count but must be
+        EXEMPT (min_line_chars) — otherwise every paragraph break in the
+        corpus collapses."""
+        df = spark.createDataFrame(
+            [(1, "para one\n\npara two"), (2, "intro\n\noutro")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in
+               dd.dedup_lines(df, max_occurrences=1).collect()}
+        assert got[1]["clean_text"] == "para one\n\npara two"
+        assert got[2]["clean_text"] == "intro\n\noutro"
+        assert all(r["n_lines_dropped"] == 0 for r in got.values())
+        # the exemption is by LENGTH, not emptiness: short separators too
+        df2 = spark.createDataFrame(
+            [(1, "a\n--\nb"), (2, "c\n--\nd")], "doc_id long, text string"
+        )
+        kept = {r["doc_id"]: r["clean_text"] for r in
+                dd.dedup_lines(df2, max_occurrences=1,
+                               min_line_chars=3).collect()}
+        assert kept == {1: "a\n--\nb", 2: "c\n--\nd"}
+
     def test_top_ngram_char_fraction_vs_python(self, spark):
         from collections import Counter
 
@@ -268,6 +290,23 @@ class TestDedup:
             assert s["n_docs"] == len(rs) and s["total_tokens"] == total
             assert s["n_sequences"] == (total - 1) // L + 1
             assert 0 < s["last_window_tokens"] <= L
+
+    def test_pack_sequences_drops_empty_docs(self, spark):
+        """split('') yields [''] — empty/whitespace docs must contribute
+        ZERO tokens, not a phantom one that shifts later offsets."""
+        from paper_layout_parser_spark.operators.packing import pack_sequences
+
+        df = spark.createDataFrame(
+            [(1, "three token doc"), (2, ""), (3, "   "), (4, "two tokens")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in
+                pack_sequences(df, max_tokens=8, num_buckets=1).collect()}
+        assert set(rows) == {1, 4}
+        total = sum(r["n_tokens"] for r in rows.values())
+        assert total == 5                        # 3 + 2, no phantoms
+        starts = sorted(r["start_token"] for r in rows.values())
+        assert starts[0] == 0 and starts[1] in (2, 3)  # contiguous
 
     def test_decontaminate_flag_and_drop(self, spark):
         train = spark.createDataFrame(
