@@ -181,6 +181,9 @@ def split_bounds(weights: dict[str, float]) -> list[tuple[str, str]]:
     for name, wt in weights.items():
         acc += wt / total
         bounds.append((name, hex_bound(acc)))
+    # float accumulation can leave the final cumulative at 0.999...;
+    # the last split must always carry the keep-everything sentinel
+    bounds[-1] = (bounds[-1][0], hex_bound(1.0))
     return bounds
 
 
