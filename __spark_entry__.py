@@ -1043,8 +1043,9 @@ def _pack_sql(max_tokens: int = 256, num_buckets: int = 8) -> str:
 
     b = bucket_sql("doc_id", num_buckets)
     # split('') yields [''] — mirror the Spark side's explicit zeroing of
-    # empty/whitespace-only docs
-    ntok = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_W}) END"
+    # empty/whitespace-only docs (regex, not trim: trim strips only spaces)
+    ntok = (r"CASE WHEN regexp_matches(text, '^\s*$') THEN 0 "
+            f"ELSE len({_W}) END")
     return f"""
 WITH t AS (
   SELECT doc_id, {b} AS bucket, {ntok} AS n_tokens FROM documents

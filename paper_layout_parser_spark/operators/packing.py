@@ -91,9 +91,10 @@ def pack_sequences(
     scales by raising ``num_buckets``, never by a global sort."""
     # split('') yields [''] (one phantom token), so empty/whitespace-only
     # docs must be zeroed explicitly or they shift every later document's
-    # offsets in the packed stream
+    # offsets in the packed stream. rlike, NOT trim: Spark's trim strips
+    # only ASCII spaces, so a newline/tab-only doc would slip through
     raw_toks = token_counts(F.col(text_col))["ws_tokens"]
-    toks = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)) \
+    toks = F.when(F.col(text_col).rlike(r"^\s*$"), F.lit(0)) \
         .otherwise(raw_toks)
     sized = docs.select(
         F.col(id_col),

@@ -91,6 +91,7 @@ def time_rollup(
     keys: list[str] | None = None,
     sum_col: str | None = None,
     persist_levels: bool = True,
+    level_handles: list | None = None,
 ) -> DataFrame:
     """Hypertable-style continuous rollup: per-key counts (and an exact
     integer sum) at SEVERAL time granularities in one logical pass.
@@ -111,10 +112,12 @@ def time_rollup(
     next re-aggregates it — WITHOUT it, Spark's union duplicates the base
     subplan per granularity and the raw source is scanned once per level
     (caught by the single-scan plan test). The cached levels are rollup-
-    sized (tiny vs the source) and ride on the returned DataFrame as
-    ``.rollup_levels`` — long-running callers should
-    ``for lv in out.rollup_levels: lv.unpersist()`` after their action
-    (cached frames are held by the cache manager, not GC). On a cluster,
+    sized (tiny vs the source). Release them after your action: pass a
+    list as ``level_handles`` and the persisted frames are appended to it
+    (robust), or read ``.rollup_levels`` off the returned DataFrame
+    BEFORE transforming it further (the attribute does not survive
+    ``.filter``/``.select`` — those return new objects). Cached frames
+    are held by the cache manager, not GC. On a cluster,
     checkpoint the levels to the catalog instead, which is exactly a
     TimescaleDB continuous aggregate.
 
@@ -163,6 +166,8 @@ def time_rollup(
         cols.append(sum_alias)
     result = out.select(*cols)
     # expose the persisted intermediates so callers can release them
+    if level_handles is not None:
+        level_handles.extend(persisted)
     result.rollup_levels = persisted
     return result
 
@@ -211,7 +216,9 @@ def interval_join(
     p = points.alias("__pt")
     anti_cond = functools.reduce(
         lambda a, b: a & b,
-        [F.col(f"__pt.{c}").eqNullSafe(F.col(f"__mk.{c}"))
+        # backtick-quote: a column name containing '.' must not parse as a
+        # multi-part reference
+        [F.col(f"__pt.`{c}`").eqNullSafe(F.col(f"__mk.`{c}`"))
          for c in points.columns],
     )
     unmatched = p.join(matched_keys, anti_cond, "left_anti")

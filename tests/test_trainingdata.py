@@ -297,7 +297,10 @@ class TestDedup:
         from paper_layout_parser_spark.operators.packing import pack_sequences
 
         df = spark.createDataFrame(
-            [(1, "three token doc"), (2, ""), (3, "   "), (4, "two tokens")],
+            # incl. newline/tab-only docs: Spark's trim strips only ASCII
+            # spaces, so the zeroing must be regex-based
+            [(1, "three token doc"), (2, ""), (3, "   "), (4, "two tokens"),
+             (5, "\n"), (6, "\t \n ")],
             "doc_id long, text string",
         )
         rows = {r["doc_id"]: r for r in
