@@ -260,16 +260,21 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval (range) join via time buckets: every error event assigned
-    to the session containing it (sessions from the batch sessionizer).
-    Oracle: DuckDB inequality join over the same session CTE."""
+    """Interval (range) join via time buckets, LEFT variant: every error
+    event assigned to the session containing it (sessions from the batch
+    sessionizer restricted to click events, so some errors genuinely fall
+    outside every interval and exercise the unmatched path). Oracle:
+    DuckDB LEFT inequality join over the same session CTE. The inner
+    variant is the matched subset (twin-tested in pytest)."""
     from paper_layout_parser_spark.operators.temporal import interval_join
     from paper_layout_parser_spark.streaming.ingest import sessionize_batch
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
-    sessions = sessionize_batch(ev, gap_minutes=30).select(
+    sessions = sessionize_batch(
+        ev.where("event_type = 'click'"), gap_minutes=30
+    ).select(
         "user_id",
         F.col("session_start").cast("timestamp").alias("session_start"),
         F.col("session_end").cast("timestamp").alias("session_end"),
@@ -279,7 +284,7 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = interval_join(
         errors, sessions, on=["user_id"], ts_col="ts",
         start_col="session_start", end_col="session_end",
-        bucket_seconds=1800,
+        bucket_seconds=1800, how="left",
     )
     return out.select("event_id", "user_id", "ts", "session_id",
                       "session_start", "session_end")
@@ -293,10 +298,18 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     k = F.from_json(F.col("props"), "struct<k: long>").getField("k")
-    return time_rollup(
+    handles: list = []
+    out = time_rollup(
         ev.withColumn("k", k), granularities=[300, 3600, 86400],
-        keys=["event_type"], sum_col="k",
+        keys=["event_type"], sum_col="k", level_handles=handles,
     )
+    # materialize the (rollup-sized) result eagerly, then release the
+    # cached level frames — nothing stays pinned in the cache manager
+    # after this call, however the driver consumes the returned frame
+    out = out.localCheckpoint(eager=True)
+    for h in handles:
+        h.unpersist()
+    return out
 
 
 def q_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,43 +364,52 @@ def q_summary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only (rendered-artifact formatting is engine-specific); the
-    # golden-shape pytest compares field-for-field against the reference's
-    # report layout
+    """K6 report sinks, oracle-checked THROUGH the serialized artifact
+    (the doc_result_json pattern): every engine-independent number the
+    JSON report carries — overall metrics, detailed counts, per-type F1s,
+    the per-document array length — is extracted back from the produced
+    report string with get_json_object, so the oracle verifies both the
+    evaluation math and that the sink actually serializes it. The
+    formatting-only surfaces (markdown layout, key order) stay covered by
+    the golden-shape pytest against the reference's report structure."""
     from paper_layout_parser_spark.operators.report import build_reports
 
     _, out = _pipeline(spark, sf_dir)
     gt = build_ground_truth(out.matched)
     summary, js, md = build_reports(compare_matches(gt, out.matched))
-    return spark.createDataFrame(
-        [(js, md, len(summary["document_results"]))],
-        "report_json string, report_md string, n_documents int",
-    )
+    assert md  # markdown render exercised; layout asserted in pytest
+    df = spark.createDataFrame([(js,)], "report_json string")
+    j = F.col("report_json")
 
+    def g(path: str):
+        return F.get_json_object(j, path)
 
-def q_crop_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K4 bounds surface: padded+clamped crop rects in PDF coords (P5) and
-    the pixel rect the re-render rasterizes. The binary render itself is
-    covered by pytest (determinism + schema); this query oracle-checks every
-    number that feeds it."""
-    from paper_layout_parser_spark.operators.crop import crop_bounds
-
-    _, out = _pipeline(spark, sf_dir)
-    b = crop_bounds(out.matched)  # clamps against each page's own rect
-    return b.select(
-        "url", "item_type", "item_id",
-        F.col("page_number").cast("long").alias("page_number"),
-        "pdf_x0", "pdf_y0", "pdf_x1", "pdf_y1",
-        "px_x0", "px_y0", "px_x1", "px_y1",
+    return df.select(
+        g("$.summary.total_documents").cast("long").alias("total_documents"),
+        g("$.summary.successful_evaluations").cast("long")
+        .alias("successful_evaluations"),
+        g("$.summary.precision").cast("double").alias("precision"),
+        g("$.summary.recall").cast("double").alias("recall"),
+        g("$.summary.f1").cast("double").alias("f1"),
+        g("$.detailed_counts.true_positives").cast("long").alias("tp"),
+        g("$.detailed_counts.false_positives").cast("long").alias("fp"),
+        g("$.detailed_counts.false_negatives").cast("long").alias("fn"),
+        g("$.per_type_metrics.figure.f1").cast("double").alias("figure_f1"),
+        g("$.per_type_metrics.table.f1").cast("double").alias("table_f1"),
+        F.json_array_length(g("$.document_results")).cast("long")
+        .alias("n_documents"),
     )
 
 
 def q_crop_render(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K4 render sink, oracle-checked on its engine-independent projection:
-    the renderer RUNS (the mapInPandas paint is not prunable) and the
-    rendered crop's pixel dimensions are pure geometry DuckDB recomputes.
-    The crop binary itself is codec-specific — pytest asserts the stub
-    codec's determinism and the base64 round-trip instead."""
+    """The full K4 crop-sink surface in one oracle-checked query: the
+    padded+clamped crop rects in PDF coords (P5), the pixel rect the
+    re-render rasterizes, AND the rendered crop's pixel dimensions — the
+    renderer RUNS (the mapInPandas paint is not prunable because crop_w/
+    crop_h/rendered come from it) and every number that feeds and leaves
+    it is pure geometry DuckDB recomputes. The crop binary itself is
+    codec-specific — pytest asserts the stub codec's determinism and the
+    base64 round-trip instead."""
     from paper_layout_parser_spark.operators.crop import (
         crop_bounds,
         render_crops,
@@ -399,6 +421,8 @@ def q_crop_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crops.select(
         "url", "item_type", "item_id",
         F.col("page_number").cast("long").alias("page_number"),
+        "pdf_x0", "pdf_y0", "pdf_x1", "pdf_y1",
+        "px_x0", "px_y0", "px_x1", "px_y1",
         F.col("crop_w").cast("long").alias("crop_w"),
         F.col("crop_h").cast("long").alias("crop_h"),
         (F.length("crop") > 0).alias("rendered"),
@@ -439,14 +463,21 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only driver check (hash family is engine-specific); pytest
-    # asserts recall against q_dedup_jaccard
-    return dd.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+    """MinHash+LSH near-dup pairs with the engine-portable md5 hash family:
+    the DuckDB oracle recomputes every signature, band bucket, capped
+    candidate, and verified Jaccard bit-for-bit (same plan as the fast
+    xxhash64 production family, which pytest recall-bounds vs jaccard)."""
+    return dd.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5,
+                                hash_family="md5")
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only driver check (xxhash64 has no DuckDB twin)
-    return dd.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+    """SimHash banded Hamming pairs with the engine-portable md5 token
+    hashes (two 32-bit halves of the digest) — oracle-checked bit-for-bit;
+    the xxhash64 production family shares the plan and is twin-tested."""
+    return dd.simhash_pairs(
+        _docs(spark, sf_dir), max_hamming=3, hash_family="md5"
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -458,16 +489,24 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only driver check (approximate by construction); pytest asserts
-    # recall against q_ann_topk
+    """SRP-LSH approximate top-k. Approximate vs brute force (pytest
+    measures recall), but fully DETERMINISTIC given the seeded hyperplane
+    table — the oracle re-derives the same +/-1 plane literals, recomputes
+    every signature bit (list_dot_product accumulates identically to the
+    Spark fold — verified exact), and reproduces bucket join + cap +
+    re-rank bit-for-bit."""
     emb = _embeddings(spark, sf_dir)
     queries = emb.where(F.col("vec_id") % 25 == 0)
-    return sim.lsh_topk(emb, queries, k=10)
+    return sim.lsh_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
+        "cos",
+    )
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only driver check (approximate by construction; centroid table is
-    # engine-specific); pytest asserts recall against q_ann_topk
+    # rows-only driver check (the centroid table is trained by Spark, so no
+    # independent engine can re-derive it); pytest asserts recall against
+    # q_ann_topk and that full-probe == exact
     emb = _embeddings(spark, sf_dir)
     queries = emb.where(F.col("vec_id") % 25 == 0)
     return sim.ivf_topk(emb, queries, k=10)
@@ -478,7 +517,10 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only (approximate); pytest asserts precision 1.0 vs the exact twin
+    """SRP-banded embedding near-dup pairs — deterministic given the seeded
+    plane table, so the oracle reproduces candidates and verified cosines
+    bit-for-bit (see q_ann_lsh); pytest additionally measures recall and
+    asserts precision 1.0 vs the exact twin."""
     return sim.cosine_neardup_lsh(_embeddings(spark, sf_dir), threshold=0.4)
 
 
@@ -496,11 +538,15 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION dedup composition: MinHash+LSH candidate pairs (the
     O(docs x bands) scale path) -> transitive connected components -> one
-    representative per cluster. rows-only driver check (the LSH hash family
-    is engine-specific); pytest measures cluster-level recall against the
-    exact-Jaccard clustering twin."""
+    representative per cluster. With the md5 hash family the whole chain
+    is engine-portable: the oracle recomputes the LSH pairs bit-for-bit
+    and closes them with a recursive CTE — two independent
+    transitive-closure implementations over two independently-derived pair
+    sets must agree. pytest additionally measures cluster-level recall of
+    the xxhash64 production family vs the exact-Jaccard clustering."""
     d = _docs(spark, sf_dir)
-    pairs = dd.minhash_lsh_pairs(d, threshold=0.5).select("id_a", "id_b")
+    pairs = dd.minhash_lsh_pairs(d, threshold=0.5,
+                                 hash_family="md5").select("id_a", "id_b")
     return dd.duplicate_clusters(pairs, docs=d.select("doc_id"))
 
 
@@ -732,7 +778,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry contract: EXACTLY 50 entries, oracle-checked queries first
+    and the two genuinely-oracle-less approximate surfaces last — the
+    driver's correctness gate records at most 50 queries in dict order
+    (round 3 silently dropped the 51st), so the ordering guarantees every
+    hash-checkable query lands in CORRECTNESS_r{{N}}.json."""
     return {
+        # --- extraction pipeline (oracle-checked) ---
         "page_stats": q_page_stats,
         "class_stats": q_class_stats,
         "doc_stats": q_doc_stats,
@@ -744,29 +796,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_per_type": q_eval_per_type,
         "error_analysis": q_error_analysis,
         "batch_rollup": q_batch_rollup,
+        "eval_report": q_eval_report,
         "label_studio": q_label_studio,
         "json_repair": q_json_repair,
+        "doc_result_json": q_doc_result_json,
+        "summary_documents": q_summary_documents,
+        "crop_render": q_crop_render,
+        "page_overlays": q_page_overlays,
+        # --- events / temporal (oracle-checked) ---
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "time_rollup": q_time_rollup,
         "props_parse": q_props_parse,
-        "doc_result_json": q_doc_result_json,
-        "summary_documents": q_summary_documents,
-        "eval_report": q_eval_report,
-        "crop_regions": q_crop_regions,
-        "crop_render": q_crop_render,
-        "page_overlays": q_page_overlays,
+        # --- training-data ops (oracle-checked) ---
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dup_clusters": q_dup_clusters,
-        "dup_clusters_lsh": q_dup_clusters_lsh,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dup_clusters_lsh": q_dup_clusters_lsh,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
         "embed_neardup": q_embed_neardup,
         "embed_neardup_lsh": q_embed_neardup_lsh,
         "decontaminate": q_decontaminate,
@@ -779,11 +831,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "corpus_filter": q_corpus_filter,
         "sketch_stats": q_sketch_stats,
-        "sketch_stats_approx": q_sketch_stats_approx,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
+        # --- rows-only (no independent engine can re-derive these: the
+        # IVF centroid table is Spark-trained; sketch internals are
+        # implementation-specific — each is error/recall-bounded in pytest)
+        "ann_ivf": q_ann_ivf,
+        "sketch_stats_approx": q_sketch_stats_approx,
     }
 
 
@@ -932,15 +988,254 @@ FROM matched"""
 
 
 def _crop_render_sql() -> str:
-    """Oracle for q_crop_render's engine-independent projection: the crop's
-    pixel dims are int-truncated (= floor, values non-negative) deltas of
-    the SAME rounded px rect the crop_regions oracle proves bit-identical."""
+    """Oracle for q_crop_render's engine-independent projection — the full
+    K4 surface: the padded+clamped PDF rect, the pixel rect the re-render
+    rasterizes, and the crop's pixel dims (int-truncated — floor, values
+    non-negative — deltas of the same rounded px rect)."""
     return f"""
 SELECT url, item_type, item_id, page_number,
+       pdf_x0, pdf_y0, pdf_x1, pdf_y1,
+       px_x0, px_y0, px_x1, px_y1,
        GREATEST(0, CAST(floor(px_x1 - px_x0) AS BIGINT)) AS crop_w,
        GREATEST(0, CAST(floor(px_y1 - px_y0) AS BIGINT)) AS crop_h,
        TRUE AS rendered
 FROM ({_crop_sql()})"""
+
+
+def _eval_report_sql() -> str:
+    """Oracle for q_eval_report: recompute every engine-independent number
+    the serialized report carries — the batch-rollup overall metrics (same
+    formulas as the green batch_rollup oracle), the per-type F1s (same
+    formulas as the green eval_per_type oracle, pivoted), and the
+    per-document array length."""
+    cmp_cte = sd._comparisons_cte("documents")
+    pt = sd.per_type_metrics_sql("documents")
+    f1 = ("CASE WHEN p_raw + r_raw > 0 "
+          "THEN 2 * p_raw * r_raw / (p_raw + r_raw) ELSE 0.0 END")
+    return f"""WITH {cmp_cte},
+per_doc AS (
+  SELECT url,
+         count(*) FILTER (is_correct AND gt_has_caption) AS tp,
+         count(*) FILTER (error_type IN ('false_positive', 'wrong_match')) AS fp,
+         count(*) FILTER (error_type IN ('false_negative', 'wrong_match')) AS fn
+  FROM cmp GROUP BY url
+),
+tot AS (
+  SELECT count(*) AS total_documents,
+         CAST(sum(tp) AS BIGINT) AS tp, CAST(sum(fp) AS BIGINT) AS fp,
+         CAST(sum(fn) AS BIGINT) AS fn
+  FROM per_doc
+),
+m AS (SELECT *,
+        CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END AS p_raw,
+        CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END AS r_raw
+      FROM tot),
+pt AS (SELECT figure_type, f1 FROM ({pt}))
+SELECT total_documents,
+       total_documents AS successful_evaluations,
+       {sd.sql_round_half_up('p_raw', 4)} AS precision,
+       {sd.sql_round_half_up('r_raw', 4)} AS recall,
+       {sd.sql_round_half_up(f1, 4)} AS f1,
+       tp, fp, fn,
+       COALESCE((SELECT f1 FROM pt WHERE figure_type = 'figure'), 0.0) AS figure_f1,
+       COALESCE((SELECT f1 FROM pt WHERE figure_type = 'table'), 0.0) AS table_f1,
+       total_documents AS n_documents
+FROM m"""
+
+
+def _minhash_cands_cte(num_hashes: int = 32, bands: int = 8,
+                       max_bucket: int = 256) -> str:
+    """CTE chain ending in ``cands``/``cnt``/``inter`` — the md5-family
+    MinHash+LSH candidate pipeline, mirroring dedup.minhash_signatures /
+    minhash_lsh_pairs(hash_family='md5') stage for stage: per-shingle md5
+    prefixes -> min-aggregated string signatures -> per-band md5 buckets ->
+    deterministic bucket cap -> in-bucket candidate pairs; plus the exact
+    shingle-count tables the verification step needs."""
+    rows = num_hashes // bands
+    sig_aggs = ",\n  ".join(
+        f"min(substr(md5('{i}:' || s), 1, 16)) AS sig_{i}"
+        for i in range(num_hashes)
+    )
+    bucket_exprs = ",\n  ".join(
+        "md5(" + " || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows))
+        + f") AS bk{b}"
+        for b in range(bands)
+    )
+    banded_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, bk{b} AS bucket FROM bk"
+        for b in range(bands)
+    )
+    return f"""docs0 AS (SELECT doc_id, {_W} AS w FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM docs0),
+sigs AS (SELECT doc_id, {sig_aggs} FROM sh GROUP BY doc_id),
+bk AS (SELECT doc_id, {bucket_exprs} FROM sigs),
+banded AS ({banded_union}),
+capped AS (SELECT * FROM banded
+           QUALIFY row_number() OVER (PARTITION BY band, bucket
+                                      ORDER BY doc_id) <= {max_bucket}),
+cands AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM capped x JOIN capped y
+            ON x.band = y.band AND x.bucket = y.bucket
+           AND x.doc_id < y.doc_id),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS m
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)"""
+
+
+def _minhash_lsh_sql(threshold: float = 0.5) -> str:
+    jacc = "i.m::DOUBLE / (ca.n + cb.n - i.m)"
+    return f"""
+WITH {_minhash_cands_cte()}
+SELECT c.id_a, c.id_b, {_RH6(jacc)} AS jaccard
+FROM cands c
+JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN cnt ca ON ca.doc_id = c.id_a
+JOIN cnt cb ON cb.doc_id = c.id_b
+WHERE {jacc} >= {threshold}"""
+
+
+def _dup_clusters_lsh_sql(threshold: float = 0.5) -> str:
+    """Recursive-CTE transitive closure over the md5-LSH verified pairs —
+    the oracle twin of minhash_lsh_pairs(md5) -> duplicate_clusters."""
+    jacc = "i.m::DOUBLE / (ca.n + cb.n - i.m)"
+    return f"""
+WITH RECURSIVE {_minhash_cands_cte()},
+pairs AS (
+  SELECT c.id_a, c.id_b FROM cands c
+  JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN cnt ca ON ca.doc_id = c.id_a
+  JOIN cnt cb ON cb.doc_id = c.id_b
+  WHERE {jacc} >= {threshold}
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+),
+clus AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN clus c ON c.id = d.doc_id"""
+
+
+def _simhash_sql(max_hamming: int = 3, max_bucket: int = 256) -> str:
+    """Oracle twin of dedup.simhash_pairs(hash_family='md5'): the 64 token-
+    hash bits come from two 32-bit halves of the md5 digest, votes are the
+    same +/-1 conditional sums, the signature is the same four 16-bit band
+    values, and Hamming distance is the summed per-band popcount of XOR."""
+
+    def bit(i: int) -> str:
+        return f"(lo >> {i}) & 1" if i < 32 else f"(hi >> {i - 32}) & 1"
+
+    bitsums = ",\n  ".join(
+        f"sum(CASE WHEN {bit(i)} = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+
+    def vexpr(b: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN b{16 * b + j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(16)
+        )
+
+    vcols = ",\n  ".join(f"{vexpr(b)} AS v{b}" for b in range(4))
+    banded = "\nUNION ALL\n".join(
+        f"SELECT doc_id, v0, v1, v2, v3, {b} AS band, v{b} AS v FROM sig"
+        for b in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(x.v{b}, y.v{b}))" for b in range(4))
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_W}) AS t FROM documents),
+h AS (SELECT doc_id,
+             CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS hi,
+             CAST('0x' || substr(md5(t), 9, 8) AS BIGINT) AS lo
+      FROM toks),
+bits AS (SELECT doc_id, {bitsums} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, {vcols} FROM bits),
+banded AS ({banded}),
+capped AS (SELECT * FROM banded
+           QUALIFY row_number() OVER (PARTITION BY band, v
+                                      ORDER BY doc_id) <= {max_bucket})
+SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+       CAST({ham} AS BIGINT) AS hamming
+FROM capped x JOIN capped y
+  ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
+WHERE {ham} <= {max_hamming}"""
+
+
+def _srp_sig_ctes(num_planes: int, bands: int, max_bucket: int,
+                  seed: int = 7, dim: int = 64) -> str:
+    """CTE chain ending in ``banded``/``capped`` — SRP signatures from the
+    SAME seeded +/-1 hyperplane table similarity.srp_signatures derives
+    (np.random.RandomState(seed), embedded here as literals), band buckets
+    from the same bit layout, and the same deterministic bucket cap.
+    list_dot_product accumulates left-to-right in float64 exactly like the
+    Spark aggregate fold (verified exact on the driver corpus), so every
+    sign bit agrees."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.choice([-1.0, 1.0], size=(num_planes, dim))
+    rows = num_planes // bands
+
+    def lit(p: int) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in planes[p]) + "]"
+
+    def bucket_expr(b: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(v, {lit(b * rows + r)}) >= 0 "
+            f"THEN {1 << r} ELSE 0 END)"
+            for r in range(rows)
+        )
+
+    bkcols = ",\n  ".join(f"{bucket_expr(b)} AS bk{b}" for b in range(bands))
+    banded = "\nUNION ALL\n".join(
+        f"SELECT vec_id, v, {b} AS band, bk{b} AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (SELECT vec_id, v, {bkcols} FROM e),
+banded AS ({banded}),
+capped AS (SELECT * FROM banded
+           QUALIFY row_number() OVER (PARTITION BY band, bucket
+                                      ORDER BY vec_id) <= {max_bucket})"""
+
+
+def _ann_lsh_sql(k: int = 10, num_planes: int = 24, bands: int = 8,
+                 max_bucket: int = 4096) -> str:
+    cos = _COS.format(a="qv", b="cv")
+    return f"""
+WITH {_srp_sig_ctes(num_planes, bands, max_bucket)},
+q AS (SELECT * FROM banded WHERE vec_id % 25 = 0),
+cands AS (SELECT DISTINCT q.vec_id AS query_id, q.v AS qv,
+                 c.vec_id AS neighbor_id, c.v AS cv
+          FROM q JOIN capped c
+            ON q.band = c.band AND q.bucket = c.bucket
+           AND q.vec_id <> c.vec_id),
+scored AS (SELECT query_id, neighbor_id, {cos} AS cos FROM cands)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id) AS rank,
+       {_RH6('cos')} AS cos
+FROM scored
+QUALIFY rank <= {k}"""
+
+
+def _embed_neardup_lsh_sql(threshold: float = 0.4, num_planes: int = 24,
+                           bands: int = 8, max_bucket: int = 256) -> str:
+    cos = _COS.format(a="va", b="vb")
+    return f"""
+WITH {_srp_sig_ctes(num_planes, bands, max_bucket)},
+cands AS (SELECT DISTINCT a.vec_id AS id_a, a.v AS va,
+                 b.vec_id AS id_b, b.v AS vb
+          FROM capped a JOIN capped b
+            ON a.band = b.band AND a.bucket = b.bucket
+           AND a.vec_id < b.vec_id),
+scored AS (SELECT id_a, id_b, {cos} AS cos FROM cands)
+SELECT id_a, id_b, {_RH6('cos')} AS cos
+FROM scored WHERE cos >= {threshold}"""
 
 
 def _page_overlays_sql() -> str:
@@ -1104,7 +1399,7 @@ _INTERVAL_SQL = """
 WITH lg AS (
   SELECT user_id, ts,
          epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap
-  FROM events
+  FROM events WHERE event_type = 'click'
 ),
 f AS (SELECT *, CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_session FROM lg),
 s AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
@@ -1115,8 +1410,8 @@ sess AS (SELECT user_id, session_id, min(ts) AS session_start,
 SELECT e.event_id, e.user_id, e.ts, sess.session_id,
        sess.session_start, sess.session_end
 FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
-JOIN sess ON e.user_id = sess.user_id
-         AND e.ts >= sess.session_start AND e.ts <= sess.session_end"""
+LEFT JOIN sess ON e.user_id = sess.user_id
+              AND e.ts >= sess.session_start AND e.ts <= sess.session_end"""
 
 def _time_rollup_sql() -> str:
     level = lambda g: f"""
@@ -1202,7 +1497,7 @@ SELECT url, max(npages) AS total_pages, count(*) AS total_detections,
        {sd.sql_round_half_up('count(*)::DOUBLE / max(npages)', 2)} AS average_detections_per_page
 FROM (SELECT det.*, d.npages FROM det JOIN docs d USING (doc_id))
 GROUP BY url""",
-        "crop_regions": _crop_sql(),
+        "eval_report": _eval_report_sql(),
         "crop_render": _crop_render_sql(),
         "page_overlays": _page_overlays_sql(),
         "label_studio": _label_studio_sql(),
@@ -1283,8 +1578,13 @@ reach(id, r) AS (
 clus AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
 SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
 FROM documents d LEFT JOIN clus c ON c.id = d.doc_id""",
+        "dedup_minhash_lsh": _minhash_lsh_sql(0.5),
+        "dup_clusters_lsh": _dup_clusters_lsh_sql(0.5),
+        "simhash_pairs": _simhash_sql(3),
         "ann_topk": _ann_sql(),
+        "ann_lsh": _ann_lsh_sql(),
         "embed_neardup": _neardup_sql(0.4),
+        "embed_neardup_lsh": _embed_neardup_lsh_sql(0.4),
         "pii_redact": _pii_sql(),
         "corpus_filter": f"""
 WITH l AS ({_lang_sql()}),
@@ -1343,9 +1643,8 @@ WITH d AS (SELECT doc_id, text, {_W} AS w FROM documents)
 SELECT doc_id, md5(text) AS full_md5,
        list_min([md5(s) for s in {_SHINGLES}]) AS min_shingle_md5
 FROM d""",
-        # dedup_minhash_lsh / simhash_pairs / ann_lsh / embed_neardup_lsh /
-        # sketch_stats_approx: intentionally omitted (engine-specific hash
-        # families / approximate recall / sketch internals) -> rows-only
-        # driver check; pytest bounds each against its exact twin.
-        # eval_report: rendered-artifact formatting -> golden-shape pytest.
+        # ann_ivf / sketch_stats_approx: intentionally omitted — the IVF
+        # centroid table is trained by Spark (no independent engine can
+        # re-derive it) and sketch internals are implementation-specific;
+        # pytest bounds each against its exact twin.
     }

@@ -148,9 +148,13 @@ class FitzCropCodec:
         raise NotImplementedError("open doc, get_pixmap(matrix, clip).tobytes('png')")
 
 
+_BOUNDS_COLS = ("pdf_x0", "pdf_y0", "pdf_x1", "pdf_y1",
+                "px_x0", "px_y0", "px_x1", "px_y1")
+
 CROP_SCHEMA = (
     "url string, item_type string, item_id string, page_number int, "
-    "crop binary, crop_w int, crop_h int"
+    + ", ".join(f"{c} double" for c in _BOUNDS_COLS)
+    + ", crop binary, crop_w int, crop_h int"
 )
 
 
@@ -160,8 +164,9 @@ def render_crops(
     codec_factory=StubCropCodec,
 ) -> DataFrame:
     """K4 sink: join crop rects back to their page payloads and render one
-    crop image per item (url, item_type, item_id, page_number, crop binary,
-    crop_w, crop_h).
+    crop image per item — the crop_bounds geometry columns ride through
+    unchanged (the sink row carries the rect it rasterized), plus
+    (crop binary, crop_w, crop_h).
 
     The join is equi on (url, page_number) — co-partitioned with the page
     table; the render is an Arrow-batched pandas UDF with per-task codec
@@ -183,11 +188,13 @@ def render_crops(
                 crops.append(blob)
                 ws.append(max(0, int(x1 - x0)))
                 hs.append(max(0, int(y1 - y0)))
-            yield pd.DataFrame({
+            out = {
                 "url": pdf["url"], "item_type": pdf["item_type"],
                 "item_id": pdf["item_id"], "page_number": pdf["page_number"],
-                "crop": crops, "crop_w": ws, "crop_h": hs,
-            })
+            }
+            out.update({c: pdf[c] for c in _BOUNDS_COLS})
+            out.update({"crop": crops, "crop_w": ws, "crop_h": hs})
+            yield pd.DataFrame(out)
 
     return joined.mapInPandas(run, schema=CROP_SCHEMA)
 

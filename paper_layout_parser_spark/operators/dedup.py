@@ -47,8 +47,10 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
     fingerprint (md5) through the aggregation and RAISES if any hash group
     mixes fingerprints — an O(rows) audit for the paranoid path, still
     never shuffling the text itself. The aggregate is persisted across the
-    audit count and the returned frame (one aggregation, not two); the
-    caller may ``.unpersist()`` the result after its own action."""
+    audit count and the result projection, which is materialized (eager
+    local checkpoint, computed straight from the cache) so the cache can
+    be dropped before returning — nothing stays pinned in the cache
+    manager after the call."""
     hash_fn = hash_fn or F.xxhash64
     grouped = docs.groupBy(
         hash_fn(F.col(text_col)).alias("__h"),
@@ -64,14 +66,16 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
         F.count("*").alias("n_copies"),
         F.countDistinct(F.md5(F.col(text_col))).alias("__n_md5"),
     ).persist()
-    collisions = agg.where(F.col("__n_md5") > 1).count()
-    if collisions:
+    try:
+        collisions = agg.where(F.col("__n_md5") > 1).count()
+        if collisions:
+            raise ValueError(
+                f"exact_dedup: {collisions} xxhash64+length group(s) mix md5 "
+                "fingerprints — rerun keyed on sha2(text, 256)"
+            )
+        return agg.select("keep_id", "n_copies").localCheckpoint(eager=True)
+    finally:
         agg.unpersist()
-        raise ValueError(
-            f"exact_dedup: {collisions} xxhash64+length group(s) mix md5 "
-            "fingerprints — rerun keyed on sha2(text, 256)"
-        )
-    return agg.select("keep_id", "n_copies")
 
 
 def cap_buckets(banded: DataFrame, max_bucket: int | None, order_col: str,
@@ -146,12 +150,21 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.3,
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 32,
                        id_col: str = "doc_id", text_col: str = "text",
-                       k: int = DEFAULT_SHINGLE_K) -> DataFrame:
+                       k: int = DEFAULT_SHINGLE_K,
+                       hash_family: str = "xxhash64") -> DataFrame:
     """doc_id + sig_0..sig_{n-1} MinHash signature columns.
 
-    Hash family: xxhash64(seed_i, shingle) — JVM-side, no Python. The
-    min-aggregation is map-side combinable, so the exchange carries one
-    32-column row per (task, doc), not the shingle blow-up.
+    Hash families (``hash_family``):
+      * 'xxhash64' (default) — xxhash64(seed_i, shingle), JVM-side, the
+        fast production family; signatures are 64-bit longs.
+      * 'md5' — the first 16 hex chars of md5(i || ':' || shingle),
+        compared as STRINGS (lexicographic min over ASCII hex == numeric
+        min over the 64-bit prefix). ~2-3x slower, but any engine with an
+        md5 function reproduces every signature bit-for-bit — this is the
+        family the driver-graded DuckDB oracle checks. Same plan shape.
+
+    The min-aggregation is map-side combinable, so the exchange carries
+    one 32-column row per (task, doc), not the shingle blow-up.
 
     Why explode + groupBy and NOT a per-row
     ``array_min(transform(shingles, ...))``: the HOF variant computes
@@ -163,10 +176,20 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 32,
     read one computed copy. The aggregation's shuffle is the cheap,
     reusable cut point."""
     sh = _shingle_table(docs, id_col, text_col, k)
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"sig_{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_family == "xxhash64":
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"sig_{i}")
+            for i in range(num_hashes)
+        ]
+    elif hash_family == "md5":
+        aggs = [
+            F.min(F.substring(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))), 1, 16
+            )).alias(f"sig_{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -174,7 +197,8 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
                       num_hashes: int = 32, bands: int = 8,
                       id_col: str = "doc_id", text_col: str = "text",
                       k: int = DEFAULT_SHINGLE_K,
-                      max_bucket: int | None = 256) -> DataFrame:
+                      max_bucket: int | None = 256,
+                      hash_family: str = "xxhash64") -> DataFrame:
     """LSH candidate generation + exact-Jaccard verification.
 
     bands x rows layout (rows = num_hashes // bands). With 8 bands of 4
@@ -186,14 +210,28 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
     per-bucket join work is bounded at max_bucket² instead of going
     quadratic in the number of copies of the hottest page. Pass None to
     disable (exact twin behavior on corpora known to be dedup'd).
+
+    ``hash_family``: 'xxhash64' (fast, production default) or 'md5'
+    (engine-portable — the DuckDB oracle recomputes signatures, buckets,
+    capped candidates, and verified pairs bit-for-bit; see
+    minhash_signatures). Identical plan either way.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, id_col, text_col, k)
+    sigs = minhash_signatures(docs, num_hashes, id_col, text_col, k,
+                              hash_family=hash_family)
+
+    def band_bucket(b: int):
+        cols = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
+        if hash_family == "md5":
+            # string signatures: re-hash the '|'-joined band slice (md5 —
+            # still engine-portable); xxhash64 longs re-hash natively
+            return F.md5(F.concat_ws("|", *cols))
+        return F.xxhash64(*cols)
+
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"sig_{b * rows + r}") for r in range(rows)])
-            .alias("bucket"),
+            band_bucket(b).alias("bucket"),
         )
         for b in range(bands)
     ])
@@ -355,10 +393,16 @@ def dedup_lines(docs: DataFrame, max_occurrences: int = 1,
     (line_no, line, keep) structs (bounded by a single document's lines).
     All occurrences of an over-limit line are dropped (not first-kept):
     keeping "the first" needs a global order over 10¹² rows and the
-    boilerplate-removal semantics want the line gone everywhere anyway."""
+    boilerplate-removal semantics want the line gone everywhere anyway.
+
+    A NULL text column is treated as the empty string (posexplode of
+    split(NULL) would otherwise yield no rows and silently drop the
+    document, breaking the one-row-per-input contract)."""
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("line_no", "line"),
     ).withColumn("__h", F.xxhash64("line")).withColumn("__len", F.length("line"))
     counts = lines.groupBy("__h", "__len").agg(F.count("*").alias("__cnt"))
     flagged = lines.join(counts, ["__h", "__len"]).withColumn(
@@ -381,22 +425,48 @@ def dedup_lines(docs: DataFrame, max_occurrences: int = 1,
     )
 
 
-def simhash64(docs: DataFrame, id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document, fully native: explode tokens, xxhash64
-    each, aggregate the per-bit +/-1 votes with conditional sums, reassemble
-    the sign bits with shiftleft + bitwise OR."""
+def _simhash_bit_sums(docs: DataFrame, id_col: str, text_col: str,
+                      hash_family: str) -> DataFrame:
+    """Per-document +/-1 vote sums for each of the 64 SimHash bits.
+
+    ``hash_family``: 'xxhash64' (one native 64-bit token hash — the fast
+    production family) or 'md5' (two 32-bit halves parsed from the md5
+    hex digest — any engine reproduces the exact bits, so the driver's
+    DuckDB oracle recomputes the whole signature bit-for-bit)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(words(F.col(text_col))).alias("t"),
-    ).withColumn("h", F.xxhash64("t"))
-    bit_sums = toks.groupBy("doc_id").agg(*[
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"b{i}")
+    )
+    if hash_family == "xxhash64":
+        toks = toks.withColumn("h", F.xxhash64("t"))
+
+        def bit(i: int):
+            return F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))
+    elif hash_family == "md5":
+        toks = toks.withColumn(
+            "lo", F.conv(F.substring(F.md5("t"), 9, 8), 16, 10).cast("long")
+        ).withColumn(
+            "hi", F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+        )
+
+        def bit(i: int):
+            src, off = ("lo", i) if i < 32 else ("hi", i - 32)
+            return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    return toks.groupBy("doc_id").agg(*[
+        F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
         for i in range(64)
     ])
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text",
+              hash_family: str = "xxhash64") -> DataFrame:
+    """64-bit SimHash per document, fully native: explode tokens, hash
+    each, aggregate the per-bit +/-1 votes with conditional sums, reassemble
+    the sign bits with shiftleft + bitwise OR."""
+    bit_sums = _simhash_bit_sums(docs, id_col, text_col, hash_family)
     sim = F.lit(0).cast("long")
     for i in range(64):
         sim = sim.bitwiseOR(
@@ -408,28 +478,49 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   id_col: str = "doc_id", text_col: str = "text",
-                  max_bucket: int | None = 256) -> DataFrame:
+                  max_bucket: int | None = 256,
+                  hash_family: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
     Banding: 4 x 16-bit bands — any pair within Hamming 3 shares at least
     one exact band (pigeonhole), so the join is equi on (band, value),
     never quadratic across the corpus; ``max_bucket`` (see ``cap_buckets``)
-    additionally bounds the in-bucket blowup from viral duplicates."""
-    sims = simhash64(docs, id_col, text_col)
-    bands = sims.select(
-        "doc_id", "simhash",
+    additionally bounds the in-bucket blowup from viral duplicates.
+
+    The signature rides as four 16-bit band values (v0..v3) rather than
+    one signed 64-bit word: the banded join needs the band values anyway,
+    Hamming distance is the sum of the four per-band popcounts of XOR, and
+    every value stays in non-negative 16-bit range — exactly reproducible
+    by the DuckDB oracle with the 'md5' family (no signed-shift edge
+    cases). ``hash_family``: see ``_simhash_bit_sums``."""
+    sums = _simhash_bit_sums(docs, id_col, text_col, hash_family)
+    import functools
+
+    def band_value(b: int):
+        return functools.reduce(
+            lambda a, c: a + c,
+            [F.when(F.col(f"b{16 * b + j}") > 0, F.lit(1 << j)).otherwise(0)
+             for j in range(16)],
+        ).cast("int")
+
+    sigs = sums.select(
+        "doc_id", *[band_value(b).alias(f"v{b}") for b in range(4)]
+    )
+    bands = sigs.select(
+        "doc_id", "v0", "v1", "v2", "v3",
         F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), b * 16)
-                .bitwiseAND(F.lit(0xFFFF)).alias("v"),
-            )
+            F.struct(F.lit(b).alias("band"), F.col(f"v{b}").alias("v"))
             for b in range(4)
         ])).alias("bb"),
-    ).select("doc_id", "simhash", "bb.band", "bb.v")
+    ).select("doc_id", "v0", "v1", "v2", "v3", "bb.band", "bb.v")
     bands = cap_buckets(bands, max_bucket, "doc_id", keys=("band", "v"))
     x = bands.alias("x")
     y = bands.alias("y")
+    hamming = functools.reduce(
+        lambda a, c: a + c,
+        [F.bit_count(F.col(f"x.v{b}").bitwiseXOR(F.col(f"y.v{b}")))
+         for b in range(4)],
+    )
     return (
         x.join(y, (F.col("x.band") == F.col("y.band"))
                & (F.col("x.v") == F.col("y.v"))
@@ -437,8 +528,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
         .select(
             F.col("x.doc_id").alias("id_a"),
             F.col("y.doc_id").alias("id_b"),
-            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
-            .alias("hamming"),
+            hamming.alias("hamming"),
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)

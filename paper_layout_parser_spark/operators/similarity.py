@@ -151,7 +151,9 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
 def train_ivf_centroids(embeddings: DataFrame, num_centroids: int = 16,
                         max_iter: int = 5, id_col: str = "vec_id",
                         vec_col: str = "embedding",
-                        dim: int = 64) -> list[list[float]]:
+                        dim: int = 64,
+                        sample_fraction: float = 1.0,
+                        sample_salt: str = "plp-ivf") -> list[list[float]]:
     """Deterministic spherical k-means coarse quantizer (the IVF index's
     centroid table). Classic Spark k-means shape: centroids live on the
     DRIVER (C x dim doubles — tiny) and ship as broadcast literals; each
@@ -160,22 +162,35 @@ def train_ivf_centroids(embeddings: DataFrame, num_centroids: int = 16,
     means (dim avg() aggregates, map-side combinable). No RNG at runtime:
     init picks evenly spaced vectors in vec_id order, so runs/engines agree.
 
-    At 100 TB the centroid table stays driver-sized while every heavy step
-    is a single scan — the standard IVF trade (train on a sample if even
-    the scans are too many; the assignment plan is unchanged)."""
+    ``sample_fraction`` < 1 trains on a deterministic md5 hex-threshold
+    sample (curation.hex_bound — the same engine-portable mechanism as
+    assign_split; no RNG, a pure codegen filter Catalyst pushes into the
+    scan). At 100 TB this is the difference between ``max_iter``+1 full
+    corpus scans and scans of a centroid-training sample that fits a few
+    executors; centroid quality needs only a representative sample, and
+    the ASSIGNMENT plan (the part that must see every row) is unchanged."""
+    train = embeddings
+    if sample_fraction < 1.0:
+        from .curation import hex_bound
+
+        h8 = F.substring(
+            F.md5(F.concat(F.lit(sample_salt + ":"),
+                           F.col(id_col).cast("string"))), 1, 8
+        )
+        train = embeddings.where(h8 < F.lit(hex_bound(sample_fraction)))
     # init: a deterministic pseudo-random sample via hash-ordered top-N —
     # orderBy+limit plans as TakeOrderedAndProject (distributed top-N),
     # never a global sort; no RNG, so runs/engines agree. The limit also
     # clamps num_centroids to the corpus size for free (no count() scan).
     init = (
-        embeddings.orderBy(F.xxhash64(F.col(id_col).cast("string")), id_col)
+        train.orderBy(F.xxhash64(F.col(id_col).cast("string")), id_col)
         .limit(max(1, num_centroids))
         .select(vec_col)
         .collect()
     )
     centroids = [[float(v) for v in r[0]] for r in init]
     for _ in range(max_iter):
-        assigned = embeddings.withColumn(
+        assigned = train.withColumn(
             "__c", assign_cluster(F.col(vec_col), centroids)
         )
         means = assigned.groupBy("__c").agg(
@@ -215,7 +230,7 @@ def assign_cluster(vec: Column, centroids: list[list[float]]) -> Column:
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
              num_centroids: int = 16, nprobe: int = 4, max_iter: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             dim: int = 64) -> DataFrame:
+             dim: int = 64, sample_fraction: float = 1.0) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into
     ``num_centroids`` inverted lists, probe each query against its
     ``nprobe`` nearest lists only, exact cosine re-rank inside the probed
@@ -223,9 +238,12 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     LSH-bucketed variant"): candidate volume is ~N * nprobe/num_centroids
     per query instead of N, and the big side shuffles once on the cluster
     id. Recall < 1 by construction; raise nprobe to trade compute back for
-    recall (nprobe = num_centroids degenerates to exact)."""
+    recall (nprobe = num_centroids degenerates to exact).
+    ``sample_fraction`` bounds centroid TRAINING to a deterministic sample
+    (see train_ivf_centroids); assignment still covers every row."""
     centroids = train_ivf_centroids(
-        embeddings, num_centroids, max_iter, id_col, vec_col, dim
+        embeddings, num_centroids, max_iter, id_col, vec_col, dim,
+        sample_fraction=sample_fraction,
     )
     assigned = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),

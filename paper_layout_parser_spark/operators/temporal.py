@@ -46,7 +46,22 @@ def asof_join(
     Right columns (except the keys) come back suffixed. For deterministic
     output the right side should be unique per (keys, ts) — pre-aggregate
     it otherwise (several right rows sharing the boundary timestamp make
-    "the" as-of row ambiguous in any engine)."""
+    "the" as-of row ambiguous in any engine).
+
+    NULL keys/timestamps follow SQL join semantics (DuckDB ASOF never
+    matches NULLs): right rows with a NULL key or NULL ts are dropped from
+    the matchable side, and left rows with a NULL key or NULL ts come back
+    unmatched — NOT matched to each other, which is what a naive window
+    partitioning would do (partitionBy groups NULLs together).
+
+    Scale note (hot keys): the window serializes each key's merged
+    timeline into ONE partition — inherent to any as-of ordering. A single
+    pathologically hot key (one user_id holding half the events) therefore
+    bounds parallelism; when the consumer is an aggregate, pre-aggregate
+    the RIGHT side per (key, ts) first (fewer rows through the window) —
+    the measured envelope is in BENCH/SKEW.md."""
+    import functools
+
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction {direction!r}")
     payload = [c for c in right.columns if c not in on]
@@ -55,6 +70,10 @@ def asof_join(
         F.col(ts_col).alias("__ts"),
         F.struct(*[F.col(c) for c in payload]).alias("__r"),
     )
+    r = r.where(functools.reduce(
+        lambda a, b: a & b,
+        [F.col(k).isNotNull() for k in on] + [F.col("__ts").isNotNull()],
+    ))
     payload_type = r.schema["__r"].dataType
     # at equal ts the right row must fall INSIDE the left row's frame:
     # backward frame ends at the current row -> right sorts first;
@@ -76,6 +95,13 @@ def asof_join(
         w = (Window.partitionBy(*on).orderBy(*order)
              .rowsBetween(0, Window.unboundedFollowing))
         matched = F.first("__r", ignorenulls=True).over(w)
+    # NULL-ts left rows sort ahead of every real timestamp (NULLS FIRST),
+    # which would spuriously match under 'forward' — mask them to
+    # unmatched (pure projection, no extra scan). NULL-key left rows are
+    # already safe: their partition holds no right rows after the filter.
+    matched = F.when(F.col("__ts").isNotNull(), matched).otherwise(
+        F.lit(None).cast(payload_type)
+    )
     return (
         merged.withColumn("__m", matched)
         .where(F.col("__side") == (1 - right_side))
@@ -185,9 +211,25 @@ def interval_join(
     """Join each point row to every interval row (same keys) with
     start <= ts <= end (closed interval), via fixed-width time buckets so
     the join stays EQUI on (keys, bucket). ``how`` in ('inner', 'left').
+
+    NULL join keys follow SQL semantics in both modes: the equi-join never
+    matches NULLs, so a NULL-key point is dropped ('inner') or comes back
+    unmatched ('left').
+
+    'left' tags each point with a synthetic 64-bit row id up front, so the
+    unmatched side is a NARROW anti-join on that single id — point rows
+    carrying wide payload columns never shuffle their bodies through a
+    distinct or a multi-column comparison. The bucketed join is
+    materialized ONCE (lazy localCheckpoint) and read by both its
+    consumers (the matched output and the anti-join); the checkpoint
+    blocks are released by the context cleaner when the frame is dropped
+    — on a cluster where executor loss must be survivable, checkpoint to
+    the catalog instead.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unknown how {how!r}")
+    if how == "left":
+        points = points.withColumn("__pid", F.monotonically_increasing_id())
     b = F.lit(bucket_seconds)
     p = points.withColumn(
         "__bucket", F.floor(F.col(ts_col).cast("timestamp").cast("long") / b)
@@ -206,25 +248,13 @@ def interval_join(
     joined = p.join(iv, [*on, "__bucket"], "inner").where(cond).drop("__bucket")
     if how == "inner":
         return joined
-    # left: re-attach points with no containing interval. The anti-join
-    # must use NULL-SAFE equality — with plain equality a matched point
-    # carrying a NULL column fails to anti-join against itself and comes
-    # back a second time as spuriously unmatched
-    import functools
-
-    matched_keys = joined.select(*points.columns).distinct().alias("__mk")
-    p = points.alias("__pt")
-    anti_cond = functools.reduce(
-        lambda a, b: a & b,
-        # backtick-quote: a column name containing '.' must not parse as a
-        # multi-part reference
-        [F.col(f"__pt.`{c}`").eqNullSafe(F.col(f"__mk.`{c}`"))
-         for c in points.columns],
-    )
-    unmatched = p.join(matched_keys, anti_cond, "left_anti")
+    # left: re-attach points with no containing interval, keyed on the
+    # narrow synthetic id only (never the point's payload columns)
+    joined = joined.localCheckpoint(eager=False)
+    unmatched = points.join(joined.select("__pid"), "__pid", "left_anti")
     for c in intervals.columns:
         if c not in on and c not in points.columns:
             unmatched = unmatched.withColumn(
                 c, F.lit(None).cast(dict(intervals.dtypes)[c])
             )
-    return joined.unionByName(unmatched.select(*joined.columns))
+    return joined.unionByName(unmatched.select(*joined.columns)).drop("__pid")

@@ -135,9 +135,10 @@ def test_render_is_deterministic_and_schema_stable(spark, out):
 
 
 def test_crop_dims_consistent_with_bounds(spark, out):
+    # the bounds columns ride through the render UDF, so the sink row is
+    # self-consistent without any re-join
     b = crop_bounds(out.matched, float(sd.PAGE_W), float(sd.PAGE_H))
-    crops = render_crops(b, out.rasterized)
-    j = crops.join(b, ["url", "item_id", "item_type", "page_number"])
+    j = render_crops(b, out.rasterized)
     bad = j.where(
         (F.col("crop_w") != F.floor(F.col("px_x1") - F.col("px_x0")).cast("int"))
         | (F.col("crop_h") != F.floor(F.col("px_y1") - F.col("px_y0")).cast("int"))

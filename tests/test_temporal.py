@@ -182,3 +182,76 @@ class TestIntervalJoin:
         assert len(rows) == 2
         got = {r["event_id"]: r["iv_id"] for r in rows}
         assert got == {1: 7, 2: None}
+
+
+class TestNullKeySemantics:
+    """SQL join semantics for NULL keys/timestamps (DuckDB ASOF and
+    inner/left joins never match NULLs) — ADVICE r3."""
+
+    def test_asof_null_keys_never_match(self, spark):
+        left = spark.createDataFrame(
+            [(1, None, _ts(10)), (2, "u", _ts(10)), (3, "u", None)],
+            "event_id long, user_id string, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [(None, _ts(5), 100.0), ("u", _ts(5), 200.0), ("u", None, 300.0)],
+            "user_id string, ts timestamp, payload double",
+        )
+        got = {r["event_id"]: r["payload_r"] for r in
+               asof_join(left, right, on=["user_id"]).collect()}
+        # NULL-key left row and NULL-ts left row: unmatched; NULL-key /
+        # NULL-ts right rows: never matchable
+        assert got == {1: None, 2: 200.0, 3: None}
+
+    def test_asof_forward_null_ts_left_unmatched(self, spark):
+        left = spark.createDataFrame(
+            [(1, "u", None), (2, "u", _ts(0))],
+            "event_id long, user_id string, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [("u", _ts(5), 1.0)], "user_id string, ts timestamp, payload double",
+        )
+        got = {r["event_id"]: r["payload_r"] for r in
+               asof_join(left, right, on=["user_id"],
+                         direction="forward").collect()}
+        # NULLS FIRST ordering would otherwise hand row 1 the first right row
+        assert got == {1: None, 2: 1.0}
+
+    def test_interval_null_key_point_left_unmatched(self, spark):
+        points = spark.createDataFrame(
+            [(1, None, _ts(5)), (2, "u", _ts(5))],
+            "event_id long, user_id string, ts timestamp",
+        )
+        intervals = spark.createDataFrame(
+            [("u", _ts(0), _ts(10), 7), (None, _ts(0), _ts(10), 8)],
+            "user_id string, start timestamp, end timestamp, iv_id long",
+        )
+        inner = {(r["event_id"], r["iv_id"]) for r in
+                 interval_join(points, intervals, on=["user_id"]).collect()}
+        assert inner == {(2, 7)}
+        left = {r["event_id"]: r["iv_id"] for r in
+                interval_join(points, intervals, on=["user_id"],
+                              how="left").collect()}
+        assert left == {1: None, 2: 7}
+
+
+class TestIntervalLeftPlan:
+    def test_bucketed_join_computed_once(self, spark):
+        """The left path materializes the bucketed join once (lazy local
+        checkpoint) and anti-joins on the narrow synthetic id: the final
+        plan carries NO interval explode or bucket equi-join subtree (both
+        live behind the checkpointed RDD) and exactly one join — the
+        anti-join itself."""
+        points = spark.createDataFrame(
+            [(1, "u", _ts(5)), (2, "u", _ts(50))],
+            "event_id long, user_id string, ts timestamp",
+        )
+        intervals = spark.createDataFrame(
+            [("u", _ts(0), _ts(10), 7)],
+            "user_id string, start timestamp, end timestamp, iv_id long",
+        )
+        out = interval_join(points, intervals, on=["user_id"], how="left")
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "explode" not in plan.lower()
+        assert plan.lower().count("join") == 1  # the narrow anti-join only
+        assert "LeftAnti" in plan
