@@ -965,7 +965,7 @@ FROM matched"""
 
 
 def _crop_sql(dpi: float = 200.0, padding: float = 10.0) -> str:
-    """Oracle for q_crop_regions — the expression shapes mirror
+    """Bounds CTE shared by the crop_render oracle — the expression shapes mirror
     operators.crop.crop_bounds term-for-term so doubles are bit-identical;
     the clamp rect comes from each page's OWN dims (page_w/page_h)."""
     pad = f"{padding} * 72.0 / {dpi}"

@@ -118,6 +118,7 @@ def time_rollup(
     sum_col: str | None = None,
     persist_levels: bool = True,
     level_handles: list | None = None,
+    salt: int | None = None,
 ) -> DataFrame:
     """Hypertable-style continuous rollup: per-key counts (and an exact
     integer sum) at SEVERAL time granularities in one logical pass.
@@ -147,6 +148,16 @@ def time_rollup(
     checkpoint the levels to the catalog instead, which is exactly a
     TimescaleDB continuous aggregate.
 
+    ``salt`` (opt-in) runs the finest-grain aggregation two-phase: rows
+    first aggregate under an extra ``partition_id % salt`` key, then the
+    salted partials merge without it. Counts/sums already get map-side
+    partial aggregation (one partial row per task per group), so this
+    matters only at large task counts — on a 1000-executor run, a single
+    viral (bucket, key) group's merge receives one partial from each of
+    ~10⁵ map tasks in ONE reducer; the salt splits that fan-in by
+    ``salt``x at the cost of one extra (rollup-sized) exchange. Leave None
+    below that regime.
+
     Returns (granularity, window_start, *keys, n_events[, sum_<col>])."""
     keys = keys if keys is not None else ["event_type"]
     gs = sorted(granularities)
@@ -160,10 +171,18 @@ def time_rollup(
     aggs = [F.count("*").alias("n_events")]
     if sum_col:
         aggs.append(F.sum(sum_col).cast("long").alias(sum_alias))
-    base = (
-        events.withColumn("__b", F.floor(epoch / gs[0]) * gs[0])
-        .groupBy("__b", *keys).agg(*aggs)
-    )
+    bucketed = events.withColumn("__b", F.floor(epoch / gs[0]) * gs[0])
+    if salt:
+        merge_aggs = [F.sum("n_events").cast("long").alias("n_events")]
+        if sum_col:
+            merge_aggs.append(F.sum(sum_alias).cast("long").alias(sum_alias))
+        base = (
+            bucketed.withColumn("__s", F.spark_partition_id() % salt)
+            .groupBy("__b", *keys, "__s").agg(*aggs)
+            .groupBy("__b", *keys).agg(*merge_aggs)
+        )
+    else:
+        base = bucketed.groupBy("__b", *keys).agg(*aggs)
     persisted = []
     if persist_levels and len(gs) > 1:
         base = base.persist()

@@ -130,7 +130,7 @@ FAMILIES: list[Family] = [
     Family(11, 2, "Abandon", ("eq", 9), {None: (100, 1500, 1100, 1530)}),  # boilerplate
     # near-edge uncaptioned figure: its padded crop rect clamps at 0 on the
     # left AND at the page rect on the right/bottom — but ONLY on the
-    # smallest page-size variant, so the crop_regions oracle actually
+    # smallest page-size variant, so the crop_render bounds oracle actually
     # proves the per-page clamp (a uniform-size corpus can't)
     Family(12, 3, "Figure", ("eq", 6), {None: (8, 1250, 1220, 1575)}),
 ]

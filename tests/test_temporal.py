@@ -255,3 +255,33 @@ class TestIntervalLeftPlan:
         assert "explode" not in plan.lower()
         assert plan.lower().count("join") == 1  # the narrow anti-join only
         assert "LeftAnti" in plan
+
+
+class TestTimeRollupSalt:
+    def test_salted_equals_unsalted_and_adds_one_exchange(self, spark):
+        from paper_layout_parser_spark.operators.temporal import time_rollup
+
+        ev = spark.createDataFrame(
+            [(i, "e" if i % 3 else "f",
+              dt.datetime(2020, 1, 1) + dt.timedelta(seconds=i * 420), i % 5)
+             for i in range(200)],
+            "event_id long, event_type string, ts timestamp, k long",
+        ).repartition(8)
+        plain = time_rollup(ev, [60, 3600], sum_col="k",
+                            persist_levels=False)
+        salted = time_rollup(ev, [60, 3600], sum_col="k",
+                             persist_levels=False, salt=4)
+        # plan shape on a single level (no union duplication): exactly one
+        # extra exchange, keyed on (__b, keys, __s) before the merge
+        p1 = time_rollup(ev, [60], sum_col="k", persist_levels=False)
+        p1s = time_rollup(ev, [60], sum_col="k", persist_levels=False,
+                          salt=4)
+        key = ["granularity", "window_start", "event_type"]
+        assert sorted(map(tuple, plain.collect())) == \
+            sorted(map(tuple, salted.collect()))
+        # the salted finest grain is two-phase: one extra shuffle keyed on
+        # (__b, keys, __s) before the merge
+        p_plain = p1._jdf.queryExecution().executedPlan().toString()
+        p_salt = p1s._jdf.queryExecution().executedPlan().toString()
+        assert p_salt.count("Exchange hashpartitioning") == \
+            p_plain.count("Exchange hashpartitioning") + 1
