@@ -782,7 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     and the two genuinely-oracle-less approximate surfaces last — the
     driver's correctness gate records at most 50 queries in dict order
     (round 3 silently dropped the 51st), so the ordering guarantees every
-    hash-checkable query lands in CORRECTNESS_r{{N}}.json."""
+    hash-checkable query lands in CORRECTNESS_r{N}.json."""
     return {
         # --- extraction pipeline (oracle-checked) ---
         "page_stats": q_page_stats,

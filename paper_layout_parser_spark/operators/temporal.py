@@ -248,7 +248,13 @@ def interval_join(
     if how not in ("inner", "left"):
         raise ValueError(f"unknown how {how!r}")
     if how == "left":
-        points = points.withColumn("__pid", F.monotonically_increasing_id())
+        # the id-tagged frame is materialized once (lazy localCheckpoint)
+        # so both its consumers — the bucketed join and the anti-join —
+        # see the SAME ids even when the upstream plan is nondeterministic
+        # (monotonically_increasing_id depends on partition layout)
+        points = points.withColumn(
+            "__pid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=False)
     b = F.lit(bucket_seconds)
     p = points.withColumn(
         "__bucket", F.floor(F.col(ts_col).cast("timestamp").cast("long") / b)
