@@ -377,7 +377,8 @@ def q_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, out = _pipeline(spark, sf_dir)
     gt = build_ground_truth(out.matched)
     summary, js, md = build_reports(compare_matches(gt, out.matched))
-    assert md  # markdown render exercised; layout asserted in pytest
+    if not md:  # markdown render exercised; layout asserted in pytest
+        raise ValueError("eval_report: empty markdown artifact")
     df = spark.createDataFrame([(js,)], "report_json string")
     j = F.col("report_json")
 

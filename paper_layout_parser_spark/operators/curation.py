@@ -170,6 +170,24 @@ def hex_bound(f: float) -> str:
     return format(int(f * 16 ** 8), "08x")
 
 
+def salted_h8(salt: str, id_col: str):
+    """The salted md5 hex prefix every hex-threshold operator keys on —
+    ``substring(md5(salt || ':' || id), 1, 8)`` — as a Column. ONE shared
+    implementation (next to ``hex_bound``, for the same reason): the
+    prefix length and separator are engine-portability-critical literals;
+    a drift in any private copy silently breaks cross-engine
+    reproducibility for just that operator."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        1, 8,
+    )
+
+
+def salted_h8_sql(salt: str, id_expr: str) -> str:
+    """DuckDB twin of ``salted_h8`` (same literals)."""
+    return f"substr(md5('{salt}:' || {id_expr}), 1, 8)"
+
+
 def split_bounds(weights: dict[str, float]) -> list[tuple[str, str]]:
     """(name, inclusive-exclusive upper bound as a hex-threshold string)
     per split, partitioning [0, 16^8) proportionally to the weights.
@@ -208,9 +226,7 @@ def assign_split(
     this is a free map over the scan."""
     weights = weights or DEFAULT_SPLIT_WEIGHTS
     bounds = split_bounds(weights)
-    h8 = F.substring(
-        F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8
-    )
+    h8 = salted_h8(salt, id_col)
     expr = None
     for name, ub in bounds[:-1]:
         cond = h8 < F.lit(ub)
@@ -225,7 +241,7 @@ def assign_split_sql(id_expr: str, weights: dict[str, float] | None = None,
     """DuckDB twin of assign_split's split expression (same literals)."""
     weights = weights or DEFAULT_SPLIT_WEIGHTS
     bounds = split_bounds(weights)
-    h8 = f"substr(md5('{salt}:' || {id_expr}), 1, 8)"
+    h8 = salted_h8_sql(salt, id_expr)
     whens = " ".join(
         f"WHEN {h8} < '{ub}' THEN '{name}'" for name, ub in bounds[:-1]
     )
@@ -255,9 +271,7 @@ def stratified_sample(
     for k, f in fractions.items():
         entries.extend([F.lit(k), F.lit(hex_bound(f))])
     thresholds = F.create_map(*entries) if entries else None
-    h8 = F.substring(
-        F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8
-    )
+    h8 = salted_h8(salt, id_col)
     bound = F.lit(hex_bound(default_fraction))
     if thresholds is not None:
         bound = F.coalesce(F.element_at(thresholds, F.col(by)), bound)
@@ -275,4 +289,4 @@ def stratified_sample_sql(id_expr: str, by_expr: str,
     )
     case = (f"CASE {whens} ELSE '{hex_bound(default_fraction)}' END"
             if whens else f"'{hex_bound(default_fraction)}'")
-    return f"substr(md5('{salt}:' || {id_expr}), 1, 8) < {case}"
+    return f"{salted_h8_sql(salt, id_expr)} < {case}"

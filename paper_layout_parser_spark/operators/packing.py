@@ -45,10 +45,9 @@ def bucket_bounds(num_buckets: int) -> list[str]:
 
 
 def _bucket_of(id_col: str, num_buckets: int):
-    h8 = F.substring(
-        F.md5(F.concat(F.lit(PACK_SALT + ":"), F.col(id_col).cast("string"))),
-        1, 8,
-    )
+    from .curation import salted_h8
+
+    h8 = salted_h8(PACK_SALT, id_col)
     bounds = bucket_bounds(num_buckets)
     expr = None
     for i, ub in enumerate(bounds[:-1]):
@@ -61,7 +60,9 @@ def _bucket_of(id_col: str, num_buckets: int):
 
 def bucket_sql(id_expr: str, num_buckets: int) -> str:
     """DuckDB twin of the bucket assignment (same literals)."""
-    h8 = f"substr(md5('{PACK_SALT}:' || {id_expr}), 1, 8)"
+    from .curation import salted_h8_sql
+
+    h8 = salted_h8_sql(PACK_SALT, id_expr)
     bounds = bucket_bounds(num_buckets)
     whens = " ".join(
         f"WHEN {h8} < '{ub}' THEN {i}" for i, ub in enumerate(bounds[:-1])

@@ -171,13 +171,11 @@ def train_ivf_centroids(embeddings: DataFrame, num_centroids: int = 16,
     the ASSIGNMENT plan (the part that must see every row) is unchanged."""
     train = embeddings
     if sample_fraction < 1.0:
-        from .curation import hex_bound
+        from .curation import hex_bound, salted_h8
 
-        h8 = F.substring(
-            F.md5(F.concat(F.lit(sample_salt + ":"),
-                           F.col(id_col).cast("string"))), 1, 8
+        train = embeddings.where(
+            salted_h8(sample_salt, id_col) < F.lit(hex_bound(sample_fraction))
         )
-        train = embeddings.where(h8 < F.lit(hex_bound(sample_fraction)))
     # init: a deterministic pseudo-random sample via hash-ordered top-N —
     # orderBy+limit plans as TakeOrderedAndProject (distributed top-N),
     # never a global sort; no RNG, so runs/engines agree. The limit also
@@ -189,6 +187,13 @@ def train_ivf_centroids(embeddings: DataFrame, num_centroids: int = 16,
         .collect()
     )
     centroids = [[float(v) for v in r[0]] for r in init]
+    if not centroids:
+        raise ValueError(
+            "train_ivf_centroids: the training input is empty "
+            f"(sample_fraction={sample_fraction}); raise sample_fraction — "
+            "an empty centroid table would silently return zero neighbors "
+            "for every query"
+        )
     for _ in range(max_iter):
         assigned = train.withColumn(
             "__c", assign_cluster(F.col(vec_col), centroids)

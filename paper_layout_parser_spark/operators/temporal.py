@@ -248,13 +248,17 @@ def interval_join(
     if how not in ("inner", "left"):
         raise ValueError(f"unknown how {how!r}")
     if how == "left":
-        # the id-tagged frame is materialized once (lazy localCheckpoint)
-        # so both its consumers — the bucketed join and the anti-join —
-        # see the SAME ids even when the upstream plan is nondeterministic
-        # (monotonically_increasing_id depends on partition layout)
+        # the id-tagged frame is materialized UP FRONT (eager checkpoint:
+        # one job before either consumer is scheduled) so the bucketed
+        # join and the anti-join are guaranteed to read the SAME ids —
+        # monotonically_increasing_id depends on partition layout, and a
+        # lazy checkpoint's two consumer stages can race to compute a
+        # partition on different executors before a cached block lands,
+        # re-evaluating the id over a nondeterministically-ordered
+        # upstream. This makes how='left' eager at call time.
         points = points.withColumn(
             "__pid", F.monotonically_increasing_id()
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
     b = F.lit(bucket_seconds)
     p = points.withColumn(
         "__bucket", F.floor(F.col(ts_col).cast("timestamp").cast("long") / b)
