@@ -25,13 +25,13 @@ def docs(spark):
 
 class TestIvfSampling:
     def test_training_scans_only_the_sample(self, emb):
-        from paper_layout_parser_spark.operators.curation import hex_bound
+        from paper_layout_parser_spark.operators.curation import (
+            hex_bound,
+            salted_h8,
+        )
 
         frac = 0.4
-        h8 = F.substring(
-            F.md5(F.concat(F.lit("plp-ivf:"), F.col("vec_id").cast("string"))),
-            1, 8,
-        )
+        h8 = salted_h8("plp-ivf", "vec_id")
         expected = emb.where(h8 < F.lit(hex_bound(frac))).count()
         total = emb.count()
         assert 0 < expected < total  # the knob actually excludes rows
@@ -175,3 +175,29 @@ class TestDedupHygiene:
         assert set(rows) == {1, 2, 3}  # one row per input document
         assert rows[2]["clean_text"] == ""
         assert rows[2]["n_lines_kept"] == 1  # the single empty line
+
+
+class TestRegistryContract:
+    """The driver's correctness gate records at most 50 queries in dict
+    order (round 3 silently dropped the 51st) — the registry must stay at
+    exactly 50 entries with every oracle-checked query ahead of the
+    rows-only tail."""
+
+    def test_exactly_50_queries_oracle_first(self):
+        import __spark_entry__ as e
+
+        qs = list(e.queries())
+        oracles = set(e.oracle_sql())
+        assert len(qs) == 50
+        assert oracles <= set(qs)
+        # no oracle-checked query may sit behind a rows-only one
+        seen_rows_only = False
+        for name in qs:
+            if name in oracles:
+                assert not seen_rows_only, (
+                    f"{name} is oracle-checked but ordered after a "
+                    "rows-only query — a driver cap would drop it first"
+                )
+            else:
+                seen_rows_only = True
+        assert len(oracles) == 48
