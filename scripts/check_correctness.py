@@ -45,7 +45,13 @@ def main() -> int:
         only = set(args[i + 1].split(","))
         args = args[:i] + args[i + 2:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    spark = get_spark(master="local[8]", shuffle_partitions=16)
+    # env-tunable so the gate can be replayed at odd parallelism — results
+    # must be partition-count-invariant or the bit-identity claim is hollow
+    import os
+
+    cores = int(os.environ.get("PLP_GATE_CORES", "8"))
+    parts = int(os.environ.get("PLP_GATE_PARTITIONS", "16"))
+    spark = get_spark(master=f"local[{cores}]", shuffle_partitions=parts)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
