@@ -198,7 +198,8 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
                       id_col: str = "doc_id", text_col: str = "text",
                       k: int = DEFAULT_SHINGLE_K,
                       max_bucket: int | None = 256,
-                      hash_family: str = "xxhash64") -> DataFrame:
+                      hash_family: str = "xxhash64",
+                      reuse_tables: bool = True) -> DataFrame:
     """LSH candidate generation + exact-Jaccard verification.
 
     bands x rows layout (rows = num_hashes // bands). With 8 bands of 4
@@ -215,10 +216,21 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
     (engine-portable — the DuckDB oracle recomputes signatures, buckets,
     capped candidates, and verified pairs bit-for-bit; see
     minhash_signatures). Identical plan either way.
+
+    ``reuse_tables`` (default True) materializes the signature table and
+    the verification shingle-set table once (lazy localCheckpoint): the
+    banded SELF-join otherwise duplicates the whole signature subplan
+    (both x and y re-scan and re-hash the corpus) and the verification
+    join scans it twice more — 4 corpus scans instead of 2 tiny-table
+    reads. On a cluster where executor loss must be survivable,
+    checkpoint both to the catalog instead and pass False (the
+    jaccard_pairs reuse_shingles contract).
     """
     rows = num_hashes // bands
     sigs = minhash_signatures(docs, num_hashes, id_col, text_col, k,
                               hash_family=hash_family)
+    if reuse_tables:
+        sigs = sigs.localCheckpoint(eager=False)
 
     def band_bucket(b: int):
         cols = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
@@ -255,6 +267,8 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
         F.col(id_col).alias("doc_id"),
         shingles(words(F.col(text_col)), k).alias("sh"),
     )
+    if reuse_tables:
+        shingle_sets = shingle_sets.localCheckpoint(eager=False)
     sa = shingle_sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = shingle_sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     m = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
