@@ -493,7 +493,8 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   id_col: str = "doc_id", text_col: str = "text",
                   max_bucket: int | None = 256,
-                  hash_family: str = "xxhash64") -> DataFrame:
+                  hash_family: str = "xxhash64",
+                  reuse_tables: bool = True) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
     Banding: 4 x 16-bit bands — any pair within Hamming 3 shares at least
@@ -520,6 +521,12 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     sigs = sums.select(
         "doc_id", *[band_value(b).alias(f"v{b}") for b in range(4)]
     )
+    if reuse_tables:
+        # the banded self-join otherwise duplicates the whole signature
+        # subtree (scan + 64 conditional sums) on both sides; the
+        # checkpointed table is 5 small columns per doc (see
+        # minhash_lsh_pairs.reuse_tables for the cluster contract)
+        sigs = sigs.localCheckpoint(eager=False)
     bands = sigs.select(
         "doc_id", "v0", "v1", "v2", "v3",
         F.explode(F.array(*[

@@ -98,7 +98,8 @@ def srp_signatures(embeddings: DataFrame, num_planes: int = 16,
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
              num_planes: int = 24, bands: int = 8,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             dim: int = 64, max_bucket: int | None = 4096) -> DataFrame:
+             dim: int = 64, max_bucket: int | None = 4096,
+             reuse_tables: bool = True) -> DataFrame:
     """Approximate top-k: SRP band-bucket candidate join + exact cosine
     re-rank. Recall < 1 by construction; the scale path when Q x N is too
     large to brute-force. Defaults (24 planes / 8 bands of 3 bits) measure
@@ -113,6 +114,11 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     rows = num_planes // bands
     mask = (1 << rows) - 1
     sigs = srp_signatures(embeddings, num_planes, id_col, vec_col, dim)
+    if reuse_tables:
+        # both the query side and the candidate side derive from sigs —
+        # without materialization each re-computes every plane dot product
+        # over a fresh corpus scan (see dedup.minhash_lsh_pairs)
+        sigs = sigs.localCheckpoint(eager=False)
 
     def banded(df: DataFrame, side: str) -> DataFrame:
         return df.select(
@@ -288,7 +294,8 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
 def cosine_neardup_lsh(embeddings: DataFrame, threshold: float = 0.4,
                        num_planes: int = 24, bands: int = 8,
                        id_col: str = "vec_id", vec_col: str = "embedding",
-                       dim: int = 64, max_bucket: int | None = 256) -> DataFrame:
+                       dim: int = 64, max_bucket: int | None = 256,
+                       reuse_tables: bool = True) -> DataFrame:
     """Embedding near-dup pairs at scale: SRP band-bucket candidates
     (O(N x bands) shuffle, never O(N^2)) verified with exact cosine.
     Precision 1.0 vs cosine_neardup_pairs; recall < 1 by construction.
@@ -299,6 +306,10 @@ def cosine_neardup_lsh(embeddings: DataFrame, threshold: float = 0.4,
     rows = num_planes // bands
     mask = (1 << rows) - 1
     sigs = srp_signatures(embeddings, num_planes, id_col, vec_col, dim)
+    if reuse_tables:
+        # the banded self-join otherwise re-computes every plane dot
+        # product on both sides (see dedup.minhash_lsh_pairs)
+        sigs = sigs.localCheckpoint(eager=False)
     banded = sigs.select(
         "vec_id", "embedding",
         F.explode(F.array(*[
