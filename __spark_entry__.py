@@ -505,12 +505,21 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only driver check (the centroid table is trained by Spark, so no
-    # independent engine can re-derive it); pytest asserts recall against
-    # q_ann_topk and that full-probe == exact
+    """IVF approximate top-k, oracle-checked TRAINING INCLUDED: with
+    init_hash='md5' the init set is md5-ordered (engine-portable, like the
+    MinHash/SimHash md5 families) and the mean updates aggregate
+    scaled-integer element sums (associative -> partition-order
+    independent), so the DuckDB oracle replays the identical Lloyd
+    iterations as unrolled CTEs and reproduces centroids, inverted-list
+    assignment, probe selection, and the re-ranked top-k bit-for-bit
+    (_ann_ivf_sql). pytest additionally measures recall vs brute force and
+    that full-probe == exact."""
     emb = _embeddings(spark, sf_dir)
     queries = emb.where(F.col("vec_id") % 25 == 0)
-    return sim.ivf_topk(emb, queries, k=10)
+    return sim.ivf_topk(emb, queries, k=10, init_hash="md5").select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
+        "cos",
+    )
 
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -820,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embed_neardup": q_embed_neardup,
         "embed_neardup_lsh": q_embed_neardup_lsh,
         "decontaminate": q_decontaminate,
@@ -836,10 +846,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
-        # --- rows-only (no independent engine can re-derive these: the
-        # IVF centroid table is Spark-trained; sketch internals are
-        # implementation-specific — each is error/recall-bounded in pytest)
-        "ann_ivf": q_ann_ivf,
+        # --- rows-only tail (sketch internals are implementation-specific
+        # — no independent engine re-derives them; error-bounded in pytest.
+        # ann_ivf moved into the oracle-checked block in round 5: md5 init
+        # + scaled-integer means made training itself engine-portable.)
         "sketch_stats_approx": q_sketch_stats_approx,
     }
 
@@ -1224,6 +1234,82 @@ FROM scored
 QUALIFY rank <= {k}"""
 
 
+def _ann_ivf_sql(k: int = 10, num_centroids: int = 16, nprobe: int = 4,
+                 max_iter: int = 5, dim: int = 64) -> str:
+    """Oracle that replays IVF **training included**: the same md5-ordered
+    init set, then ``max_iter`` unrolled Lloyd iterations — assignment =
+    argmax cosine (row_number ORDER BY cos DESC, cid ASC, exactly
+    assign_clusters' array_max tie-break), mean update = per-element
+    SCALED-INTEGER sums (sum(floor(v*2^24+0.5)) as bigint — associative,
+    so Spark's partition order can't perturb it) divided in double with the
+    identical op sequence train_ivf_centroids uses driver-side. Empty
+    clusters keep their previous centroid (LEFT JOIN + CASE, mirroring the
+    dict-update loop). Extra unrolled iterations after convergence are
+    no-ops (identical centroids -> identical assignment -> identical
+    means), so the fixed unroll equals Spark's early-stop. Cosines fold
+    left-to-right in float64 in both engines (verified exact for the SRP
+    oracles), so every argmax and the final re-rank agree bit-for-bit."""
+    from paper_layout_parser_spark.operators.similarity import IVF_MEAN_SCALE
+
+    S = repr(IVF_MEAN_SCALE)
+    cnorm = "sqrt(list_dot_product(c.cvec, c.cvec))"
+    acos = (f"list_dot_product(e.v, c.cvec) / "
+            f"(sqrt(list_dot_product(e.v, e.v)) * "
+            f"(CASE WHEN {cnorm} = 0 THEN 1.0 ELSE {cnorm} END))")
+    sums = ",\n      ".join(
+        f"SUM(CAST(FLOOR(v[{i + 1}] * {S} + 0.5) AS BIGINT)) AS s{i}"
+        for i in range(dim)
+    )
+    mean = ", ".join(
+        f"CAST(m.s{i} AS DOUBLE) / CAST(m.n AS DOUBLE) / {S}"
+        for i in range(dim)
+    )
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""c0 AS (SELECT CAST(rn - 1 AS INTEGER) AS cid, v AS cvec FROM (
+  SELECT v, row_number() OVER (
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM e)
+  WHERE rn <= {num_centroids})""",
+    ]
+    for t in range(max_iter):
+        ctes.append(f"""a{t} AS (SELECT vec_id, v, cid FROM (
+  SELECT e.vec_id AS vec_id, e.v AS v, c.cid AS cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {acos} DESC, c.cid) AS rn
+  FROM e CROSS JOIN c{t} c) WHERE rn = 1)""")
+        ctes.append(
+            f"m{t} AS (SELECT cid, COUNT(*) AS n,\n      {sums}\n"
+            f"  FROM a{t} GROUP BY cid)"
+        )
+        ctes.append(f"""c{t + 1} AS (SELECT c.cid,
+  CASE WHEN m.n IS NULL THEN c.cvec ELSE [{mean}] END AS cvec
+  FROM c{t} c LEFT JOIN m{t} m USING (cid))""")
+    T = max_iter
+    cos = _COS.format(a="p.qv", b="a.v")
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH {cte_block},
+assigned AS (SELECT vec_id, v, cid FROM (
+  SELECT e.vec_id AS vec_id, e.v AS v, c.cid AS cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {acos} DESC, c.cid) AS rn
+  FROM e CROSS JOIN c{T} c) WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, v AS qv, cid AS cluster FROM (
+  SELECT e.vec_id AS vec_id, e.v AS v, c.cid AS cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {acos} DESC, c.cid) AS rn
+  FROM e CROSS JOIN c{T} c WHERE e.vec_id % 25 = 0) WHERE rn <= {nprobe}),
+scored AS (SELECT p.query_id, a.vec_id AS neighbor_id, {cos} AS cos
+           FROM probes p JOIN assigned a
+             ON a.cid = p.cluster AND a.vec_id <> p.query_id)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id) AS rank,
+       {_RH6('cos')} AS cos
+FROM scored
+QUALIFY rank <= {k}"""
+
+
 def _embed_neardup_lsh_sql(threshold: float = 0.4, num_planes: int = 24,
                            bands: int = 8, max_bucket: int = 256) -> str:
     cos = _COS.format(a="va", b="vb")
@@ -1584,6 +1670,7 @@ FROM documents d LEFT JOIN clus c ON c.id = d.doc_id""",
         "simhash_pairs": _simhash_sql(3),
         "ann_topk": _ann_sql(),
         "ann_lsh": _ann_lsh_sql(),
+        "ann_ivf": _ann_ivf_sql(),
         "embed_neardup": _neardup_sql(0.4),
         "embed_neardup_lsh": _embed_neardup_lsh_sql(0.4),
         "pii_redact": _pii_sql(),
@@ -1644,8 +1731,8 @@ WITH d AS (SELECT doc_id, text, {_W} AS w FROM documents)
 SELECT doc_id, md5(text) AS full_md5,
        list_min([md5(s) for s in {_SHINGLES}]) AS min_shingle_md5
 FROM d""",
-        # ann_ivf / sketch_stats_approx: intentionally omitted — the IVF
-        # centroid table is trained by Spark (no independent engine can
-        # re-derive it) and sketch internals are implementation-specific;
-        # pytest bounds each against its exact twin.
+        # sketch_stats_approx: intentionally omitted — sketch internals
+        # (HLL++/GK) are implementation-specific; pytest error-bounds it
+        # against its exact twin. (ann_ivf gained a full training-included
+        # oracle in round 5 — see _ann_ivf_sql.)
     }

@@ -114,20 +114,23 @@ def _shingle_table(docs: DataFrame, id_col: str, text_col: str,
 
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.3,
                   id_col: str = "doc_id", text_col: str = "text",
-                  k: int = DEFAULT_SHINGLE_K, reuse_shingles: bool = True) -> DataFrame:
+                  k: int = DEFAULT_SHINGLE_K, reuse_shingles: bool = True,
+                  checkpoint=None) -> DataFrame:
     """Exact pairwise n-gram Jaccard >= threshold (a < b).
 
     Jaccard is computed from integer intersection/union counts, so the
     double division is bit-identical across engines.
 
     The shingle table is referenced three times (counts + both join sides);
-    ``reuse_shingles`` materializes it once via localCheckpoint (~2x
-    end-to-end) — on a cluster where executor loss must be survivable,
-    checkpoint to the catalog instead and pass reuse_shingles=False.
+    ``reuse_shingles`` materializes it once (~2x end-to-end);
+    ``checkpoint=`` a Catalog swaps the localCheckpoint for a durable
+    catalog table on clusters (operators.materialize).
     """
     sh = _shingle_table(docs, id_col, text_col, k)
     if reuse_shingles:
-        sh = sh.localCheckpoint(eager=False)
+        from .materialize import materialize
+
+        sh = materialize(sh, checkpoint, "jaccard_shingles")
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -199,7 +202,8 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
                       k: int = DEFAULT_SHINGLE_K,
                       max_bucket: int | None = 256,
                       hash_family: str = "xxhash64",
-                      reuse_tables: bool = True) -> DataFrame:
+                      reuse_tables: bool = True,
+                      checkpoint=None) -> DataFrame:
     """LSH candidate generation + exact-Jaccard verification.
 
     bands x rows layout (rows = num_hashes // bands). With 8 bands of 4
@@ -218,19 +222,23 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
     minhash_signatures). Identical plan either way.
 
     ``reuse_tables`` (default True) materializes the signature table and
-    the verification shingle-set table once (lazy localCheckpoint): the
-    banded SELF-join otherwise duplicates the whole signature subplan
-    (both x and y re-scan and re-hash the corpus) and the verification
-    join scans it twice more — 4 corpus scans instead of 2 tiny-table
-    reads. On a cluster where executor loss must be survivable,
-    checkpoint both to the catalog instead and pass False (the
-    jaccard_pairs reuse_shingles contract).
+    the verification shingle-set table once: the banded SELF-join
+    otherwise duplicates the whole signature subplan (both x and y
+    re-scan and re-hash the corpus) and the verification join scans it
+    twice more — 4 corpus scans instead of 2 tiny-table reads.
+    ``checkpoint`` picks the materialization medium (see
+    operators.materialize): None = localCheckpoint (sandbox fast path,
+    non-replicated); a sources.catalog.Catalog = committed catalog tables
+    that survive executor loss on a cluster. Identical results either way
+    (twin-tested).
     """
+    from .materialize import materialize
+
     rows = num_hashes // bands
     sigs = minhash_signatures(docs, num_hashes, id_col, text_col, k,
                               hash_family=hash_family)
     if reuse_tables:
-        sigs = sigs.localCheckpoint(eager=False)
+        sigs = materialize(sigs, checkpoint, "minhash_sigs")
 
     def band_bucket(b: int):
         cols = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
@@ -268,7 +276,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
         shingles(words(F.col(text_col)), k).alias("sh"),
     )
     if reuse_tables:
-        shingle_sets = shingle_sets.localCheckpoint(eager=False)
+        shingle_sets = materialize(shingle_sets, checkpoint, "shingle_sets")
     sa = shingle_sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = shingle_sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     m = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -494,7 +502,8 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   id_col: str = "doc_id", text_col: str = "text",
                   max_bucket: int | None = 256,
                   hash_family: str = "xxhash64",
-                  reuse_tables: bool = True) -> DataFrame:
+                  reuse_tables: bool = True,
+                  checkpoint=None) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
     Banding: 4 x 16-bit bands — any pair within Hamming 3 shares at least
@@ -524,9 +533,12 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     if reuse_tables:
         # the banded self-join otherwise duplicates the whole signature
         # subtree (scan + 64 conditional sums) on both sides; the
-        # checkpointed table is 5 small columns per doc (see
-        # minhash_lsh_pairs.reuse_tables for the cluster contract)
-        sigs = sigs.localCheckpoint(eager=False)
+        # materialized table is 5 small columns per doc. checkpoint=
+        # swaps localCheckpoint for a durable catalog table on clusters
+        # (see operators.materialize / minhash_lsh_pairs)
+        from .materialize import materialize
+
+        sigs = materialize(sigs, checkpoint, "simhash_sigs")
     bands = sigs.select(
         "doc_id", "v0", "v1", "v2", "v3",
         F.explode(F.array(*[

@@ -99,7 +99,7 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
              num_planes: int = 24, bands: int = 8,
              id_col: str = "vec_id", vec_col: str = "embedding",
              dim: int = 64, max_bucket: int | None = 4096,
-             reuse_tables: bool = True) -> DataFrame:
+             reuse_tables: bool = True, checkpoint=None) -> DataFrame:
     """Approximate top-k: SRP band-bucket candidate join + exact cosine
     re-rank. Recall < 1 by construction; the scale path when Q x N is too
     large to brute-force. Defaults (24 planes / 8 bands of 3 bits) measure
@@ -117,8 +117,11 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     if reuse_tables:
         # both the query side and the candidate side derive from sigs —
         # without materialization each re-computes every plane dot product
-        # over a fresh corpus scan (see dedup.minhash_lsh_pairs)
-        sigs = sigs.localCheckpoint(eager=False)
+        # over a fresh corpus scan (see dedup.minhash_lsh_pairs);
+        # checkpoint= swaps localCheckpoint for a durable catalog table
+        from .materialize import materialize
+
+        sigs = materialize(sigs, checkpoint, "srp_sigs")
 
     def banded(df: DataFrame, side: str) -> DataFrame:
         return df.select(
@@ -154,19 +157,89 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+# Scale for the fixed-point element sums inside k-means mean updates:
+# sum(round(v * SCALE)) is an INTEGER aggregate (associative, partition-order
+# independent) where a plain avg() over doubles is not — this is what makes
+# centroid training bit-deterministic across runs AND reproducible by the
+# DuckDB oracle. 2^24 keeps ~7 decimal digits per element and bounds the
+# per-cluster sum to |v|max * 2^24 * rows (well inside int64 at any tested
+# scale; lower it if a single cluster could exceed 2^53 rows*|v|).
+IVF_MEAN_SCALE = float(1 << 24)
+
+
+def _centroid_rows(centroids: list[list[float]]) -> list[tuple]:
+    import math
+
+    return [
+        (i, [float(v) for v in c], math.sqrt(sum(v * v for v in c)) or 1.0)
+        for i, c in enumerate(centroids)
+    ]
+
+
+def with_centroid_table(df: DataFrame, centroids: list[list[float]],
+                        col: str = "__ctab") -> DataFrame:
+    """Attach the centroid table as ONE array<struct> column via a one-row
+    broadcast cross join. This is the scale-safe replacement for inlining
+    every centroid as expression literals (``assign_cluster``): expression
+    size is O(1) in the number of centroids — C only grows the broadcast
+    relation (C x dim doubles, kilobytes) — so ``num_centroids`` in the
+    thousands (real 100 TB IVF: nlist ~ sqrt(N)) never chokes Catalyst
+    analysis or codegen. Norms are precomputed driver-side (``or 1.0``
+    guard for zero vectors, mirrored by the oracle's CASE)."""
+    one = df.sparkSession.createDataFrame(
+        [(_centroid_rows(centroids),)],
+        f"{col} array<struct<cid:int,cvec:array<double>,cnorm:double>>",
+    )
+    return df.crossJoin(F.broadcast(one))
+
+
+def cluster_scores(vec: Column, ctab: Column) -> Column:
+    """array<struct<s,negc>> of cosine scores against every centroid in the
+    attached table. negc = -cid so array_max / descending sorts tie-break
+    toward the LOWEST centroid id (same contract as assign_cluster and the
+    oracle's ORDER BY cos DESC, cid ASC)."""
+    vnorm = _norm(vec)
+    return F.transform(
+        ctab,
+        lambda cc: F.struct(
+            (_dot(vec, cc["cvec"]) / (vnorm * cc["cnorm"])).alias("s"),
+            (-cc["cid"]).alias("negc"),
+        ),
+    )
+
+
+def assign_clusters(df: DataFrame, centroids: list[list[float]],
+                    vec_col: str = "embedding",
+                    out_col: str = "cluster") -> DataFrame:
+    """Adds ``out_col`` = argmax-cosine centroid id (ties -> lowest cid).
+    One broadcast cross join + one O(1)-size projection regardless of C —
+    see with_centroid_table."""
+    df2 = with_centroid_table(df, centroids)
+    best = F.array_max(cluster_scores(F.col(vec_col), F.col("__ctab")))
+    return df2.withColumn(out_col, (-best["negc"]).cast("int")).drop("__ctab")
+
+
 def train_ivf_centroids(embeddings: DataFrame, num_centroids: int = 16,
                         max_iter: int = 5, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         dim: int = 64,
                         sample_fraction: float = 1.0,
-                        sample_salt: str = "plp-ivf") -> list[list[float]]:
+                        sample_salt: str = "plp-ivf",
+                        init_hash: str = "xxhash64") -> list[list[float]]:
     """Deterministic spherical k-means coarse quantizer (the IVF index's
     centroid table). Classic Spark k-means shape: centroids live on the
-    DRIVER (C x dim doubles — tiny) and ship as broadcast literals; each
-    Lloyd iteration is one scan (assign = argmax cosine over C literal
-    dot products, whole-stage codegen) + one groupBy computing element-wise
-    means (dim avg() aggregates, map-side combinable). No RNG at runtime:
-    init picks evenly spaced vectors in vec_id order, so runs/engines agree.
+    DRIVER (C x dim doubles — tiny) and ship via a one-row broadcast table
+    (with_centroid_table — expression size O(1) in C); each Lloyd iteration
+    is one scan (assign = argmax cosine) + one groupBy computing
+    element-wise means. Means aggregate SCALED-INTEGER element sums
+    (sum(floor(v * 2^24 + 0.5)) as long — associative, so the result is
+    bit-identical across runs, partition counts, AND engines; double
+    avg() is partition-order dependent) and divide driver-side. No RNG at
+    runtime: init picks the hash-ordered top-C vectors, so runs agree;
+    ``init_hash='md5'`` swaps xxhash64 for md5 ordering so an independent
+    engine (the DuckDB oracle) can re-derive the identical init set and
+    replay the whole training bit-for-bit (same pattern as the md5
+    MinHash/SimHash families).
 
     ``sample_fraction`` < 1 trains on a deterministic md5 hex-threshold
     sample (curation.hex_bound — the same engine-portable mechanism as
@@ -186,8 +259,10 @@ def train_ivf_centroids(embeddings: DataFrame, num_centroids: int = 16,
     # orderBy+limit plans as TakeOrderedAndProject (distributed top-N),
     # never a global sort; no RNG, so runs/engines agree. The limit also
     # clamps num_centroids to the corpus size for free (no count() scan).
+    order = (F.md5(F.col(id_col).cast("string")) if init_hash == "md5"
+             else F.xxhash64(F.col(id_col).cast("string")))
     init = (
-        train.orderBy(F.xxhash64(F.col(id_col).cast("string")), id_col)
+        train.orderBy(order, id_col)
         .limit(max(1, num_centroids))
         .select(vec_col)
         .collect()
@@ -200,17 +275,20 @@ def train_ivf_centroids(embeddings: DataFrame, num_centroids: int = 16,
             "an empty centroid table would silently return zero neighbors "
             "for every query"
         )
+    S = IVF_MEAN_SCALE
     for _ in range(max_iter):
-        assigned = train.withColumn(
-            "__c", assign_cluster(F.col(vec_col), centroids)
-        )
+        assigned = assign_clusters(train, centroids, vec_col, "__c")
         means = assigned.groupBy("__c").agg(
-            *[F.avg(F.col(vec_col)[i].cast("double")).alias(f"m{i}")
-              for i in range(dim)]
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(
+                F.floor(F.col(vec_col)[i].cast("double") * S + F.lit(0.5))
+                .cast("long")
+            ).alias(f"s{i}") for i in range(dim)]
         ).collect()
         new = list(centroids)
         for r in means:
-            new[r["__c"]] = [float(r[f"m{i}"]) for i in range(dim)]
+            n = float(r["n"])
+            new[r["__c"]] = [float(r[f"s{i}"]) / n / S for i in range(dim)]
         if new == centroids:
             break
         centroids = new
@@ -218,11 +296,13 @@ def train_ivf_centroids(embeddings: DataFrame, num_centroids: int = 16,
 
 
 def assign_cluster(vec: Column, centroids: list[list[float]]) -> Column:
-    """argmax-cosine cluster id over the driver-held centroid table (ties
-    -> lowest centroid index). Implemented as array_max over an array of
-    (score, -index) structs: expression size stays LINEAR in C — a nested
-    when/otherwise chain would copy the accumulated tree into every level
-    (2^C nodes; 16 centroids froze analysis)."""
+    """LEGACY small-C column-expression variant of assign_clusters: inlines
+    every centroid as literals, so the expression tree is C x dim nodes —
+    fine at C=16, but a real IVF wants nlist in the thousands where this
+    chokes Catalyst. Kept as the independent parity twin for
+    assign_clusters (tested equal at C=16); new code should use
+    assign_clusters (broadcast centroid table, O(1) expression size).
+    Ties -> lowest centroid index, same contract as assign_clusters."""
     import math
 
     vnorm = _norm(vec)
@@ -241,7 +321,8 @@ def assign_cluster(vec: Column, centroids: list[list[float]]) -> Column:
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
              num_centroids: int = 16, nprobe: int = 4, max_iter: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             dim: int = 64, sample_fraction: float = 1.0) -> DataFrame:
+             dim: int = 64, sample_fraction: float = 1.0,
+             init_hash: str = "xxhash64") -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into
     ``num_centroids`` inverted lists, probe each query against its
     ``nprobe`` nearest lists only, exact cosine re-rank inside the probed
@@ -251,31 +332,35 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     id. Recall < 1 by construction; raise nprobe to trade compute back for
     recall (nprobe = num_centroids degenerates to exact).
     ``sample_fraction`` bounds centroid TRAINING to a deterministic sample
-    (see train_ivf_centroids); assignment still covers every row."""
+    (see train_ivf_centroids); assignment still covers every row.
+    ``init_hash='md5'`` makes the whole surface (training included)
+    reproducible by the DuckDB oracle — see train_ivf_centroids."""
     centroids = train_ivf_centroids(
         embeddings, num_centroids, max_iter, id_col, vec_col, dim,
-        sample_fraction=sample_fraction,
+        sample_fraction=sample_fraction, init_hash=init_hash,
     )
-    assigned = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        assign_cluster(F.col(vec_col), centroids).alias("cluster"),
+    assigned = assign_clusters(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ),
+        centroids, "cv", "cluster",
     )
-    # per query: nprobe nearest centroids -> explode to (query, cluster)
-    import math
-
-    scores = F.array(*[
-        F.struct(
-            (_dot(F.col("qv"), F.array(*[F.lit(v) for v in c]))
-             / (_norm(F.col("qv"))
-                * F.lit(math.sqrt(sum(v * v for v in c)) or 1.0))).alias("s"),
-            F.lit(i).alias("c"),
-        )
-        for i, c in enumerate(centroids)
-    ])
+    # per query: nprobe nearest centroids -> explode to (query, cluster).
+    # array_sort ascending on (s, negc) then reverse = s DESC, cid ASC on
+    # ties — identical to the oracle's ORDER BY cos DESC, cid ASC.
+    q = with_centroid_table(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv")),
+        centroids,
+    )
+    scores = cluster_scores(F.col("qv"), F.col("__ctab"))
     probes = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-        .withColumn("__probe", F.slice(F.reverse(F.array_sort(scores)), 1, nprobe))
-        .select("query_id", "qv", F.explode("__probe.c").alias("cluster"))
+        q.withColumn("__probe",
+                     F.slice(F.reverse(F.array_sort(scores)), 1, nprobe))
+        .select("query_id", "qv",
+                F.explode(F.transform(
+                    "__probe", lambda x: (-x["negc"]).cast("int")
+                )).alias("cluster"))
     )
     scored = (
         F.broadcast(probes).join(assigned, "cluster")
@@ -295,7 +380,7 @@ def cosine_neardup_lsh(embeddings: DataFrame, threshold: float = 0.4,
                        num_planes: int = 24, bands: int = 8,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        dim: int = 64, max_bucket: int | None = 256,
-                       reuse_tables: bool = True) -> DataFrame:
+                       reuse_tables: bool = True, checkpoint=None) -> DataFrame:
     """Embedding near-dup pairs at scale: SRP band-bucket candidates
     (O(N x bands) shuffle, never O(N^2)) verified with exact cosine.
     Precision 1.0 vs cosine_neardup_pairs; recall < 1 by construction.
@@ -308,8 +393,11 @@ def cosine_neardup_lsh(embeddings: DataFrame, threshold: float = 0.4,
     sigs = srp_signatures(embeddings, num_planes, id_col, vec_col, dim)
     if reuse_tables:
         # the banded self-join otherwise re-computes every plane dot
-        # product on both sides (see dedup.minhash_lsh_pairs)
-        sigs = sigs.localCheckpoint(eager=False)
+        # product on both sides (see dedup.minhash_lsh_pairs);
+        # checkpoint= swaps localCheckpoint for a durable catalog table
+        from .materialize import materialize
+
+        sigs = materialize(sigs, checkpoint, "srp_neardup_sigs")
     banded = sigs.select(
         "vec_id", "embedding",
         F.explode(F.array(*[

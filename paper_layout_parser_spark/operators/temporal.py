@@ -226,6 +226,8 @@ def interval_join(
     end_col: str = "end",
     bucket_seconds: int = 3600,
     how: str = "inner",
+    id_col: str | None = None,
+    checkpoint=None,
 ) -> DataFrame:
     """Join each point row to every interval row (same keys) with
     start <= ts <= end (closed interval), via fixed-width time buckets so
@@ -239,26 +241,39 @@ def interval_join(
     unmatched side is a NARROW anti-join on that single id — point rows
     carrying wide payload columns never shuffle their bodies through a
     distinct or a multi-column comparison. The bucketed join is
-    materialized ONCE (lazy localCheckpoint) and read by both its
-    consumers (the matched output and the anti-join); the checkpoint
-    blocks are released by the context cleaner when the frame is dropped
-    — on a cluster where executor loss must be survivable, checkpoint to
-    the catalog instead.
+    materialized ONCE and read by both its consumers (the matched output
+    and the anti-join).
+
+    ``id_col`` names a caller-supplied column that is already UNIQUE per
+    point row (a primary key): the synthetic id and its eager
+    materialization are skipped entirely — no job runs at call time, and
+    the plan stays fully lazy/recomputable. ``checkpoint`` (a
+    sources.catalog.Catalog) swaps each localCheckpoint for a committed
+    catalog table — localCheckpoint blocks are non-replicated, so on a
+    cluster an executor loss would otherwise make the frame unrecoverable
+    (see operators.materialize).
     """
+    from .materialize import materialize
+
     if how not in ("inner", "left"):
         raise ValueError(f"unknown how {how!r}")
     if how == "left":
-        # the id-tagged frame is materialized UP FRONT (eager checkpoint:
-        # one job before either consumer is scheduled) so the bucketed
-        # join and the anti-join are guaranteed to read the SAME ids —
-        # monotonically_increasing_id depends on partition layout, and a
-        # lazy checkpoint's two consumer stages can race to compute a
-        # partition on different executors before a cached block lands,
-        # re-evaluating the id over a nondeterministically-ordered
-        # upstream. This makes how='left' eager at call time.
-        points = points.withColumn(
-            "__pid", F.monotonically_increasing_id()
-        ).localCheckpoint(eager=True)
+        if id_col is not None:
+            # caller guarantees uniqueness — deterministic, no job needed
+            points = points.withColumn("__pid", F.col(id_col))
+        else:
+            # the id-tagged frame is materialized UP FRONT (eager: one job
+            # before either consumer is scheduled) so the bucketed join
+            # and the anti-join are guaranteed to read the SAME ids —
+            # monotonically_increasing_id depends on partition layout, and
+            # a lazy checkpoint's two consumer stages can race to compute
+            # a partition on different executors before a cached block
+            # lands, re-evaluating the id over a nondeterministically-
+            # ordered upstream. This makes how='left' eager at call time.
+            points = materialize(
+                points.withColumn("__pid", F.monotonically_increasing_id()),
+                checkpoint, "interval_points", eager=True,
+            )
     b = F.lit(bucket_seconds)
     p = points.withColumn(
         "__bucket", F.floor(F.col(ts_col).cast("timestamp").cast("long") / b)
@@ -279,7 +294,7 @@ def interval_join(
         return joined
     # left: re-attach points with no containing interval, keyed on the
     # narrow synthetic id only (never the point's payload columns)
-    joined = joined.localCheckpoint(eager=False)
+    joined = materialize(joined, checkpoint, "interval_joined")
     unmatched = points.join(joined.select("__pid"), "__pid", "left_anti")
     for c in intervals.columns:
         if c not in on and c not in points.columns:

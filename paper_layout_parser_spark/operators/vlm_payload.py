@@ -179,8 +179,12 @@ def classify_elements(detections: DataFrame) -> DataFrame:
 def _fmt0(col):
     """Python's ``{v:.0f}`` — round-half-even to an integer string
     (``bround``; the reference formats positions through f-strings,
-    prompts.py:101,107,118)."""
-    return F.bround(col, 0).cast("long")
+    prompts.py:101,107,118). Coordinates are clamped to >= 0 first:
+    detector outputs are non-negative by contract (detect.py rounds
+    clipped boxes), and without the clamp a slightly-negative coordinate
+    in (-0.5, 0) would print '0' here but '-0' through Python's f-string
+    — the clamp makes the 0 boundary explicit instead of silent."""
+    return F.bround(F.greatest(col, F.lit(0.0)), 0).cast("long")
 
 
 def elements_description(detections: DataFrame) -> DataFrame:

@@ -200,4 +200,4 @@ class TestRegistryContract:
                 )
             else:
                 seen_rows_only = True
-        assert len(oracles) == 48
+        assert len(oracles) == 49  # r5: ann_ivf gained a training-included oracle
