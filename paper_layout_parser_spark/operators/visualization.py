@@ -8,16 +8,18 @@ Spark rebuild splits the stage the scale-correct way:
      (color from the class palette as a literal map, label text per the
      chosen strategy, rect + label-anchor geometry). This is 99% of the
      reference renderer's logic and is pure column expressions.
-  2. ``paint_overlays`` — REAL pixel paint: numpy rectangle/label-bar
-     rasterization + a stdlib-zlib PNG encoder inside applyInPandas, so
-     the K3 image sink emits actual decodable PNGs with no cv2/Pillow
-     dependency. Glyph text (cv2.putText) is the one cluster-only piece —
-     the label STRING rides in the draw spec; the painter marks its anchor
-     with a color bar. The canvas is blank white here (this sandbox never
-     materializes pixmaps); compositing over the rendered page is a
-     one-line change where the raster backend is real.
+  2. ``paint_overlays`` — REAL pixel paint: numpy rectangle + label-
+     background rasterization, 5x7 bitmap-font glyph TEXT (operators.
+     bitmapfont — white-on-color labels, the renderer.py:104-143
+     cv2.putText geometry), and a stdlib-zlib PNG encoder inside
+     applyInPandas, so the K3 image sink emits actual decodable PNGs
+     with no cv2/Pillow dependency. The canvas is blank white here (this
+     sandbox never materializes pixmaps); compositing over the rendered
+     page is a one-line change where the raster backend is real.
   3. ``render_overlays`` — the cv2-parity seam, kept as an explicit
-     NotImplementedError for deployments that need glyph-identical output.
+     NotImplementedError for deployments that need cv2-glyph-IDENTICAL
+     output (the bitmap font reproduces the text content and geometry,
+     not Hershey letterforms).
 
 Color/label tables are lifted from styles.py (BGR tuples packed as a single
 int for a compact column).
@@ -172,8 +174,14 @@ def paint_overlays(spec: DataFrame, page_w: int | None = None,
                    page_h: int | None = None,
                    scale: float = 0.25, thickness: int = 2) -> DataFrame:
     """K3/P13 pixel paint: one PNG per page with every detection's rect
-    (palette color, renderer.py:93-117) and a filled label-anchor bar at
-    the label position (the glyph-free stand-in for cv2.putText).
+    (palette color, renderer.py:93-117) and its LABEL — a filled
+    background bar in the box color with the label text in white 5x7
+    bitmap glyphs, following renderer.py:90-125's geometry: the bar sits
+    directly above the box (below its top edge when clipped at y=0), text
+    inset by the label padding. Glyph letterforms come from
+    operators.bitmapfont, not cv2's Hershey fonts — content and geometry
+    match the reference, the strict cv2 seam (render_overlays) remains
+    for pixel-identical letterforms.
 
     The canvas is sized from EACH page's own pixel dims (the reference
     paints onto that page's rendered pixmap — renderer.py gets the image,
@@ -188,15 +196,20 @@ def paint_overlays(spec: DataFrame, page_w: int | None = None,
     import numpy as np
     import pandas as pd
 
+    from .bitmapfont import FONT_H, draw_text, text_width
+
+    pad = 2  # renderer.py label_padding
+
     def paint(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("det_idx")
         w_px = page_w if page_w is not None else int(pdf["width"].iloc[0])
         h_px = page_h if page_h is not None else int(pdf["height"].iloc[0])
         W, H = max(1, int(w_px * scale)), max(1, int(h_px * scale))
         img = np.full((H, W, 3), 255, np.uint8)
-        for color, x1, y1, x2, y2, ly in zip(
+        white = np.array([255, 255, 255], np.uint8)
+        for color, x1, y1, x2, y2, label in zip(
             pdf["color_bgr"], pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"],
-            pdf["label_y"],
+            pdf["label"],
         ):
             c = int(color)
             rgb = np.array([c & 0xFF, (c >> 8) & 0xFF, (c >> 16) & 0xFF],
@@ -210,9 +223,14 @@ def paint_overlays(spec: DataFrame, page_w: int | None = None,
             img[max(y - t, 0):y, a:x] = rgb            # bottom
             img[b:y, a:min(a + t, W)] = rgb            # left
             img[b:y, max(x - t, 0):x] = rgb            # right
-            # label anchor bar (glyph-free putText stand-in)
-            lb = max(0, min(int(ly * scale), H - 2))
-            img[lb:lb + 2, a:min(a + 12, W)] = rgb
+            # label: filled background bar + white glyphs, renderer.py:90-125
+            # geometry (bar ends at the box top; flips below when clipped)
+            ly1, ly2 = b - FONT_H - 2 * pad, b
+            if ly1 < 0:
+                ly1, ly2 = b, b + FONT_H + 2 * pad
+            lx2 = a + text_width(str(label)) + 2 * pad
+            img[max(0, ly1):min(H, ly2 + 1), a:min(W, lx2 + 1)] = rgb
+            draw_text(img, a + pad, ly2 - pad - FONT_H + 1, str(label), white)
         return pd.DataFrame({
             "url": [pdf["url"].iloc[0]],
             "page_no": [pdf["page_no"].iloc[0]],
@@ -238,19 +256,25 @@ def class_legend_png(colors: dict | None = None, width: int = 400,
     """Class-color legend image (legend.py:40-90 ``create_class_legend``):
     one filled swatch per palette entry at the reference's exact geometry
     (boxes at (margin, margin+10 + i*line_height), stopping when the next
-    box would cross height-10), white background, PNG-encoded with the
-    stdlib encoder. The cv2.putText class-name glyphs are the one gated
-    piece (same seam as render_overlays); entry ORDER is the palette order,
-    so row i is identifiable without glyphs."""
+    box would cross height-10), each class name painted in black 5x7
+    bitmap glyphs at the reference's putText position — x = margin +
+    box_size + 10, baseline = swatch bottom - 5 (our top-left origin is
+    baseline - (FONT_H - 1)). White background, PNG-encoded with the
+    stdlib encoder; render via cv2 for Hershey-identical letterforms."""
     import numpy as np
+
+    from .bitmapfont import FONT_H, draw_text
 
     colors = colors or DEFAULT_COLORS
     legend = np.full((height, width, 3), 255, np.uint8)
+    black = np.zeros(3, np.uint8)
     y = margin + 10
-    for _name, bgr in colors.items():
+    for name, bgr in colors.items():
         if y + box_size > height - 10:
             break
         legend[y:y + box_size, margin:margin + box_size] = _bgr_to_rgb(bgr)
+        draw_text(legend, margin + box_size + 10,
+                  y + box_size - 5 - (FONT_H - 1), name, black)
         y += line_height
     return encode_png(legend)
 
@@ -258,11 +282,18 @@ def class_legend_png(colors: dict | None = None, width: int = 400,
 def annotation_legend_png(width: int = 400, height: int = 150,
                           margin: int = 20) -> bytes:
     """Annotation-mode legend (legend.py:95-150 ``create_annotation_legend``):
-    three 30x25 swatches (figure/table/caption) with a 1px black border at
-    y = 60 + i*35, glyph text gated as above."""
+    the "Annotation Legend" title (baseline y=30), then three 30x25
+    swatches (figure/table/caption) with a 1px black border at
+    y = 60 + i*35, each labeled "Figure (F#)" / "Table (T#)" /
+    "Caption (C#)" at the reference's putText position (x = margin + 40,
+    baseline = y + 18) in black 5x7 bitmap glyphs."""
     import numpy as np
 
+    from .bitmapfont import FONT_H, draw_text
+
     legend = np.full((height, width, 3), 255, np.uint8)
+    blk = np.zeros(3, np.uint8)
+    draw_text(legend, margin, 30 - (FONT_H - 1), "Annotation Legend", blk)
     y = 60
     for kind in ("figure", "table", "caption"):
         # cv2 clips rectangles at the canvas edge (the reference's last
@@ -275,14 +306,19 @@ def annotation_legend_png(width: int = 400, height: int = 150,
             legend[y + 24, margin:margin + 30] = black
         legend[y:y + 25, margin] = black
         legend[y:y + 25, margin + 29] = black
+        label = (f"{kind.capitalize()} "
+                 f"({ANNOTATION_PREFIXES[kind]}#)")  # legend.py:127-131
+        draw_text(legend, margin + 40, y + 18 - (FONT_H - 1), label, blk)
         y += 35
     return encode_png(legend)
 
 
 def render_overlays(spec_with_payload: DataFrame, strict: bool = True) -> DataFrame:
-    """The cv2-parity paint seam — requires cv2/Pillow for glyph-identical
-    output (cv2.putText). ``paint_overlays`` above is the dependency-free
-    real renderer; this raise marks the only piece it can't reproduce."""
+    """The cv2-parity paint seam — requires cv2/Pillow for Hershey-glyph-
+    IDENTICAL output (cv2.putText letterforms + anti-aliasing).
+    ``paint_overlays`` above is the dependency-free real renderer and now
+    paints label/legend text too (5x7 bitmap font, reference positions);
+    this raise marks only cv2-pixel-exact parity."""
 
     def run(it):
         raise NotImplementedError(

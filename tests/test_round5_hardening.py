@@ -168,3 +168,102 @@ class TestCatalogMaterializationContract:
         via = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in
                sim.lsh_topk(emb, queries, k=5, checkpoint=cat).collect()}
         assert base == via
+
+
+class TestGlyphText:
+    """Round 5 closes the last reference-output gap: label/legend TEXT is
+    now painted (5x7 bitmap font) instead of gated behind the cv2 seam.
+    These tests decode the PNGs and read the glyph pixels back."""
+
+    def _expect_region(self, img, x, y, text, ink, bg):
+        """Assert img[y:y+7, x:...] equals the font rasterization of
+        ``text`` in color ``ink`` over background ``bg``."""
+        import numpy as np
+
+        from paper_layout_parser_spark.operators.bitmapfont import (
+            ADVANCE,
+            FONT_H,
+            FONT_W,
+            glyph_mask,
+        )
+
+        for i, ch in enumerate(text):
+            gx = x + i * ADVANCE
+            region = img[y:y + FONT_H, gx:gx + FONT_W]
+            mask = glyph_mask(ch)
+            want = np.where(mask[..., None], np.array(ink, np.uint8),
+                            np.array(bg, np.uint8))
+            assert (region == want).all(), (ch, i)
+
+    def test_overlay_label_glyphs(self, spark):
+        from paper_layout_parser_spark.operators.visualization import (
+            decode_png_rgb,
+            draw_spec,
+            paint_overlays,
+        )
+
+        det = spark.createDataFrame(
+            [("u", 1, 0, "Figure", 0.95, 100., 200., 300., 400.)],
+            "url string, page_no int, det_idx int, class_name string, "
+            "confidence double, x1 double, y1 double, x2 double, y2 double",
+        )
+        row = paint_overlays(draw_spec(det), page_w=1224, page_h=1584,
+                             scale=0.25).collect()[0]
+        img = decode_png_rgb(bytes(row["overlay_png"]))
+        # box top at y=50; label bar rows 39..50 in Figure green, white
+        # glyph text "Figure 0.95" inset by pad=2 (renderer.py geometry)
+        green, white = (0, 255, 0), (255, 255, 255)
+        assert tuple(img[40, 26]) == green          # bar background
+        self._expect_region(img, 27, 42, "Figure 0.95", white, green)
+
+    def test_class_legend_names_painted(self):
+        from paper_layout_parser_spark.operators.visualization import (
+            DEFAULT_COLORS,
+            class_legend_png,
+            decode_png_rgb,
+        )
+
+        img = decode_png_rgb(class_legend_png())
+        names = list(DEFAULT_COLORS)
+        black, white = (0, 0, 0), (255, 255, 255)
+        # entry 0 ("Title"): swatch at y=30..50, text baseline y=45 ->
+        # glyph top 39, x = margin + box_size + 10 = 50
+        self._expect_region(img, 50, 39, names[0], black, white)
+        self._expect_region(img, 50, 39 + 35, names[1], black, white)
+
+    def test_annotation_legend_title_and_labels(self):
+        from paper_layout_parser_spark.operators.visualization import (
+            annotation_legend_png,
+            decode_png_rgb,
+        )
+
+        img = decode_png_rgb(annotation_legend_png())
+        black, white = (0, 0, 0), (255, 255, 255)
+        self._expect_region(img, 20, 24, "Annotation Legend", black, white)
+        self._expect_region(img, 60, 60 + 12, "Figure (F#)", black, white)
+        self._expect_region(img, 60, 95 + 12, "Table (T#)", black, white)
+        self._expect_region(img, 60, 130 + 12, "Caption (C#)", black, white)
+
+    def test_unknown_glyph_is_visible_box(self):
+        import numpy as np
+
+        from paper_layout_parser_spark.operators.bitmapfont import (
+            draw_text,
+            glyph_mask,
+        )
+
+        assert glyph_mask("é").all(axis=1)[0]  # hollow box: full top row
+        img = np.zeros((7, 5, 3), np.uint8)
+        draw_text(img, 0, 0, "é", (9, 9, 9))
+        assert (img[0] == 9).all() and (img[3, 1:4] == 0).all()
+
+    def test_draw_text_clips_at_edges(self):
+        import numpy as np
+
+        from paper_layout_parser_spark.operators.bitmapfont import draw_text
+
+        img = np.zeros((10, 10, 3), np.uint8)
+        draw_text(img, -3, -2, "XX", (1, 1, 1))   # off top-left
+        draw_text(img, 8, 8, "XX", (1, 1, 1))     # off bottom-right
+        # no exception, and SOME ink landed from each partially-visible run
+        assert img.any()
