@@ -37,6 +37,7 @@ def asof_join(
     ts_col: str = "ts",
     direction: str = "backward",
     suffix: str = "_r",
+    hot_key_ranges: int | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row gets the right row with the
     greatest ``ts_col`` <= its own (direction='backward'; 'forward' takes
@@ -59,7 +60,18 @@ def asof_join(
     pathologically hot key (one user_id holding half the events) therefore
     bounds parallelism; when the consumer is an aggregate, pre-aggregate
     the RIGHT side per (key, ts) first (fewer rows through the window) —
-    the measured envelope is in BENCH/SKEW.md."""
+    the measured envelope is in BENCH/SKEW.md.
+
+    ``hot_key_ranges=N`` (opt-in) splits every key's timeline into N
+    coarse time ranges and runs the window per (key, range), restoring up
+    to N-way parallelism under a hot key. Cross-range correctness comes
+    from SEED rows: per (key, range), the as-of right row carried in from
+    the other ranges (the last earlier right row for 'backward', the
+    first later one for 'forward') is injected at the range boundary — a
+    keys x N sized side computation, never a second pass over the data.
+    Results are identical to the unsplit window (oracle-parity tested);
+    the measured effect on the 50%-hot-key corpus is in BENCH/SKEW.md.
+    Costs one extra tiny job (the min/max timestamp probe) at call time."""
     import functools
 
     if direction not in ("backward", "forward"):
@@ -85,14 +97,91 @@ def asof_join(
         F.lit(None).cast(payload_type).alias("__r"),
     ).withColumn("__side", F.lit(1 - right_side))
     r = r.withColumn("__side", F.lit(right_side))
+    part_cols = list(on)
+    if hot_key_ranges and int(hot_key_ranges) > 1:
+        n_rng = int(hot_key_ranges)
+        epoch = F.col("__ts").cast("timestamp").cast("long")
+        b = (
+            l.select("__ts").unionByName(r.select("__ts"))
+            .agg(F.min(epoch).alias("lo"), F.max(epoch).alias("hi"))
+            .collect()[0]
+        )
+        if b["lo"] is not None:
+            lo = int(b["lo"])
+            width = max(1, -(-(int(b["hi"]) - lo + 1) // n_rng))
+            rng = F.floor((epoch - F.lit(lo)) / F.lit(width)).cast("long")
+            l = l.withColumn("__rng", rng)
+            r = r.withColumn("__rng", rng)
+            ts_type = l.schema["__ts"].dataType
+            # per (key, range): the boundary-crossing right row the OTHER
+            # ranges need (last for backward, first for forward).
+            # max_by/min_by AGGREGATION, not a row_number window: partial
+            # aggregation combines map-side, so the hot key ships one row
+            # per (key, range) per map partition instead of re-shuffling
+            # and sorting the entire right side a second time. (Ties on
+            # __ts pick an arbitrary payload — same class of tie as the
+            # unsplit window's sort; unique (key, ts) right rows, the
+            # as-of contract, make both deterministic.)
+            pick = F.max_by if direction == "backward" else F.min_by
+            finals = (
+                r.groupBy(*on, "__rng")
+                .agg(pick("__r", "__ts").alias("__fin"))
+            )
+            # one spine row per populated (key, range) — left ranges with
+            # no right rows still need a carry-in seed; the running
+            # last(ignorenulls) over range order skips empty ranges, so
+            # gaps inherit the nearest earlier (later, for forward) final.
+            # The left distinct also partial-aggregates; the union with
+            # finals' ranges is keys x ranges sized, trivially small
+            spine = (
+                l.select(*on, "__rng").distinct()
+                .unionByName(finals.select(*on, "__rng"))
+                .distinct()
+                .join(finals, [*on, "__rng"], "left")
+            )
+            if direction == "backward":
+                wcarry = (Window.partitionBy(*on)
+                          .orderBy(F.col("__rng").asc())
+                          .rowsBetween(Window.unboundedPreceding, -1))
+                # range start: every row in the range has ts >= it, and
+                # the seed wins equal-ts ties via the side order
+                seed_epoch = F.lit(lo) + F.col("__rng") * F.lit(width)
+            else:
+                wcarry = (Window.partitionBy(*on)
+                          .orderBy(F.col("__rng").desc())
+                          .rowsBetween(Window.unboundedPreceding, -1))
+                # next range's start: truncated epochs in range r are
+                # <= that - 1, so every true ts sorts strictly before it
+                seed_epoch = (F.lit(lo)
+                              + (F.col("__rng") + 1) * F.lit(width))
+            # the seed's sort side puts it strictly OUTSIDE the real right
+            # rows at an equal timestamp: a real right row AT the range
+            # start has true ts == boundary while the carried row's true
+            # ts is earlier — the real row must win the backward tie
+            # (sort later), so the seed sorts first (-1); symmetrically
+            # the forward seed sorts last (right_side + 1)
+            seed_side = -1 if direction == "backward" else right_side + 1
+            seeds = (
+                spine.withColumn(
+                    "__seed", F.last("__fin", ignorenulls=True).over(wcarry))
+                .where(F.col("__seed").isNotNull())
+                .select(*on,
+                        F.timestamp_seconds(seed_epoch).cast(ts_type)
+                        .alias("__ts"),
+                        F.col("__seed").alias("__r"),
+                        F.lit(seed_side).alias("__side"),
+                        "__rng")
+            )
+            r = r.unionByName(seeds, allowMissingColumns=True)
+            part_cols = [*on, "__rng"]
     merged = l.unionByName(r, allowMissingColumns=True)
     order = [F.col("__ts").asc(), F.col("__side").asc()]
     if direction == "backward":
-        w = (Window.partitionBy(*on).orderBy(*order)
+        w = (Window.partitionBy(*part_cols).orderBy(*order)
              .rowsBetween(Window.unboundedPreceding, 0))
         matched = F.last("__r", ignorenulls=True).over(w)
     else:
-        w = (Window.partitionBy(*on).orderBy(*order)
+        w = (Window.partitionBy(*part_cols).orderBy(*order)
              .rowsBetween(0, Window.unboundedFollowing))
         matched = F.first("__r", ignorenulls=True).over(w)
     # NULL-ts left rows sort ahead of every real timestamp (NULLS FIRST),

@@ -170,6 +170,58 @@ class TestCatalogMaterializationContract:
         assert base == via
 
 
+class TestAsofHotKeyRanges:
+    """hot_key_ranges=N splits each key's timeline into N window
+    partitions with boundary carry-over seed rows — results must be
+    IDENTICAL to the unsplit window in both directions, under NULL
+    keys/timestamps, equal-timestamp boundary collisions, and ranges with
+    no right rows (gap carry)."""
+
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        import random
+
+        random.seed(1234)
+        left = spark.createDataFrame(
+            [(i, "h" if i % 2 else f"u{i % 5}",
+              _ts(random.randint(0, 5000))) for i in range(600)]
+            + [(9001, None, _ts(10)), (9002, "h", None)],
+            "event_id long, user_id string, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [("h" if i % 3 else f"u{i % 5}",
+              _ts(random.randint(0, 5000)), float(i)) for i in range(250)]
+            + [(None, _ts(5), -1.0), ("h", None, -2.0)],
+            "user_id string, ts timestamp, payload double",
+        ).groupBy("user_id", "ts").agg(F.max("payload").alias("payload"))
+        return left, right
+
+    @pytest.mark.parametrize("direction", ["backward", "forward"])
+    def test_parity_with_unsplit(self, frames, direction):
+        from paper_layout_parser_spark.operators.temporal import asof_join
+
+        left, right = frames
+        base = {(r["event_id"], r["payload_r"]) for r in
+                asof_join(left, right, on=["user_id"],
+                          direction=direction).collect()}
+        for n in (2, 8, 50):
+            split = {(r["event_id"], r["payload_r"]) for r in
+                     asof_join(left, right, on=["user_id"],
+                               direction=direction,
+                               hot_key_ranges=n).collect()}
+            assert split == base, (direction, n)
+
+    def test_window_partitioned_by_range(self, frames):
+        """The split must actually reach the physical plan: the window's
+        partition spec carries __rng next to the join keys."""
+        from paper_layout_parser_spark.operators.temporal import asof_join
+
+        left, right = frames
+        plan = asof_join(left, right, on=["user_id"], hot_key_ranges=4) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "__rng" in plan.split("Window")[1][:400]
+
+
 class TestGlyphText:
     """Round 5 closes the last reference-output gap: label/legend TEXT is
     now painted (5x7 bitmap font) instead of gated behind the cv2 seam.
