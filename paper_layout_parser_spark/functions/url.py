@@ -4,7 +4,9 @@ Common-Crawl-style pipelines key everything on the url (dedup, resume,
 joins), so a canonical form matters: the same page arrives as
 ``HTTP://Host.TLD:80/path/?utm_source=x`` and ``http://host.tld/path``.
 
-All native Spark SQL (``parse_url`` + array ops — whole-stage codegen);
+All native Spark SQL (``try_parse_url`` + array ops — whole-stage
+codegen; the try_ variant returns NULL on malformed URLs instead of
+failing the job — one bad crawl URL must never kill a 100 TB pass);
 the DuckDB oracle mirrors the same component math with regexps, so the
 canonicalization is cross-engine checked.
 """
@@ -19,7 +21,7 @@ TRACKING_PREFIX = "utm_"
 
 def url_host(url: Column) -> Column:
     """Lowercased host without port."""
-    return F.lower(F.parse_url(url, F.lit("HOST")))
+    return F.lower(F.try_parse_url(url, F.lit("HOST")))
 
 
 def canonical_url(url: Column) -> Column:
@@ -27,12 +29,12 @@ def canonical_url(url: Column) -> Column:
     (``utm_*``) query params removed, fragment dropped, trailing slash
     stripped from the path. Path case and non-tracking params preserved.
     """
-    proto = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+    proto = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
     host = url_host(url)
     path = F.regexp_replace(
-        F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")), "/+$", ""
+        F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit("")), "/+$", ""
     )
-    q = F.parse_url(url, F.lit("QUERY"))
+    q = F.try_parse_url(url, F.lit("QUERY"))
     kept = F.filter(
         F.split(q, "&"),
         lambda x: ~F.startswith(x, F.lit(TRACKING_PREFIX)),

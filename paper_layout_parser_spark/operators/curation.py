@@ -290,3 +290,74 @@ def stratified_sample_sql(id_expr: str, by_expr: str,
     case = (f"CASE {whens} ELSE '{hex_bound(default_fraction)}' END"
             if whens else f"'{hex_bound(default_fraction)}'")
     return f"{salted_h8_sql(salt, id_expr)} < {case}"
+
+
+def cap_per_host(
+    docs: DataFrame,
+    cap: int,
+    url_col: str = "url",
+    salt: str = "plp-hostcap",
+    id_col: str = "doc_id",
+    host_col: str | None = None,
+) -> DataFrame:
+    """Keep at most ``cap`` documents per host (the RefinedWeb/FineWeb
+    "N pages per domain" guard against template farms and crawler traps
+    dominating the corpus). Selection is DETERMINISTIC: within a host,
+    documents are ranked by md5(salt || ':' || id) with the id as
+    tie-break, so the surviving set is reproducible across runs, engines,
+    and partitionings — no RNG, no first-seen order dependence.
+
+    Scale posture: the rank <= cap filter over a row_number window is
+    rewritten by Catalyst into WindowGroupLimit (plan-tested), which
+    prunes each map task's groups to ``cap`` rows BEFORE the exchange —
+    a 10M-page crawler-trap host ships ~cap x map-partitions rows through
+    the shuffle, not 10M. NULL hosts (unparseable URLs) group together
+    and are capped as one host, matching SQL window partitioning in every
+    engine (document or pre-filter them if that is not wanted).
+
+    ``host_col`` names an existing host column to use instead of parsing
+    ``url_col`` (parse already done, or a custom notion of "domain" such
+    as eTLD+1 from a suffix-list join)."""
+    from ..functions.url import url_host
+
+    host = F.col(host_col) if host_col else url_host(F.col(url_col))
+    rank = F.row_number().over(
+        Window.partitionBy(host)
+        .orderBy(salted_h8(salt, id_col), F.col(id_col))
+    )
+    return (docs.withColumn("__hc_rank", rank)
+            .where(F.col("__hc_rank") <= cap)
+            .drop("__hc_rank"))
+
+
+def cap_per_host_sql(cap: int, url_expr: str = "url",
+                     salt: str = "plp-hostcap",
+                     id_expr: str = "doc_id") -> str:
+    """DuckDB twin of cap_per_host's keep-predicate, as a QUALIFY-style
+    subquery fragment: same md5 ranking literals, host extracted with a
+    regex equivalent to Spark's parse_url(..., 'HOST') for well-formed
+    absolute URLs (lowercased authority host, credentials and port
+    stripped)."""
+    host = ("lower(regexp_extract(" + url_expr +
+            ", '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^@/?#]*@)?([^/:?#]+)', 1))")
+    return (f"row_number() OVER (PARTITION BY {host} "
+            f"ORDER BY {salted_h8_sql(salt, id_expr)}, {id_expr}) <= {cap}")
+
+
+def deterministic_shuffle(
+    docs: DataFrame,
+    salt: str = "plp-shuffle",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global reorder for training: ORDER BY
+    md5(salt || ':' || id), id. The hash order is uniform and
+    input-order-independent, so writing the result yields reproducibly
+    shuffled shards regardless of upstream partitioning; changing the
+    salt yields an independent epoch order.
+
+    Scale posture: a total sort, executed as Spark's range-partitioned
+    sort — one sampling pass to pick range bounds, then a single
+    exchange; because the sort key is a uniform hash, the range
+    partitions are balanced no matter how skewed the source keys are (a
+    hot host cannot produce a hot output partition)."""
+    return docs.orderBy(salted_h8(salt, id_col), F.col(id_col))
