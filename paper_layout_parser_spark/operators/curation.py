@@ -361,3 +361,75 @@ def deterministic_shuffle(
     partitions are balanced no matter how skewed the source keys are (a
     hot host cannot produce a hot output partition)."""
     return docs.orderBy(salted_h8(salt, id_col), F.col(id_col))
+
+
+def with_registrable_domain(
+    docs: DataFrame,
+    suffixes: DataFrame,
+    host_col: str = "host",
+    out_col: str = "domain",
+) -> DataFrame:
+    """Annotate each row with its registrable domain (eTLD+1): the public
+    suffix plus one label — the unit real per-domain policies (crawl
+    budgets, host caps, ownership grouping) operate on, since
+    "b.co.uk" and "c.co.uk" are different sites while "a.b.com" and
+    "b.com" are the same.
+
+    ``suffixes`` is a one-column (``suffix``) table of public suffixes
+    (e.g. the Mozilla Public Suffix List loaded from a file the caller
+    ships; tests use a fixture subset — this repo embeds no external
+    data). Longest-match wins, Public-Suffix-List semantics.
+
+    Plan: DISTINCT hosts (orders of magnitude fewer than rows — the point
+    of domains) each explode into their trailing suffix candidates
+    ("a.b.co.uk" -> [a.b.co.uk, b.co.uk, co.uk, uk] — bounded by label
+    count, not corpus size), equi-join the broadcast suffix table (the
+    PSL is ~10k rows), and aggregate the longest match per host; the
+    registrable domain is that suffix plus the label left of it. Hosts
+    matching no suffix (intranet names, IPs) or EQUAL to a suffix (the
+    bare TLD) get NULL. The host is its own deterministic key — no
+    synthetic ids, no materialization hazard — and a hot suffix ('com')
+    lives broadcast-side, never as a shuffle key. The final host->domain
+    map joins back on host (shuffle of the small map; the docs side
+    shuffles once on host, the same key cap_per_host would use)."""
+    from pyspark.sql.functions import broadcast
+
+    host = F.col(host_col)
+
+    def domain_expr(h):
+        labels = F.split(h, r"\.")
+        n = F.size(labels)
+        return labels, n
+
+    labels_h, n_h = domain_expr(F.col("__host"))
+    hosts = docs.select(host.alias("__host")).where(host.isNotNull()).distinct()
+    cands = F.transform(
+        F.sequence(F.lit(1), n_h),
+        lambda i: F.struct(
+            F.array_join(F.slice(labels_h, i, n_h - i + 1), ".").alias("cand"),
+            (n_h - i + 1).alias("cand_len"),
+        ),
+    )
+    exploded = hosts.select(
+        "__host", F.explode(cands).alias("__c")
+    ).select("__host", F.col("__c.cand").alias("__cand"),
+             F.col("__c.cand_len").alias("__cand_len"))
+    sx = broadcast(suffixes.select(F.col("suffix").alias("__cand")).distinct())
+    best = (
+        exploded.join(sx, "__cand")
+        .groupBy("__host")
+        .agg(F.max("__cand_len").alias("__best_len"))
+    )
+    mapping = best.select(
+        "__host",
+        F.when(
+            n_h > F.col("__best_len"),
+            F.array_join(
+                F.slice(labels_h, n_h - F.col("__best_len"),
+                        F.col("__best_len") + 1), "."),
+        ).alias(out_col),
+    )
+    return (
+        docs.join(mapping, host == F.col("__host"), "left")
+        .drop("__host")
+    )

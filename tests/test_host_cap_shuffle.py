@@ -141,3 +141,70 @@ class TestMalformedUrlRobustness:
         rows = {r["h"]: r["c"] for r in df.collect()}
         assert rows[None] is None
         assert rows["ok.example"] == "http://ok.example/a?b=2"
+
+
+class TestRegistrableDomain:
+    """with_registrable_domain: Public-Suffix-List longest-match
+    semantics over a caller-supplied suffix table (tests ship a fixture
+    subset; the repo embeds no external data)."""
+
+    @pytest.fixture(scope="class")
+    def suffixes(self, spark):
+        return spark.createDataFrame(
+            [("com",), ("org",), ("uk",), ("co.uk",), ("github.io",)],
+            "suffix string",
+        )
+
+    def test_psl_longest_match(self, spark, suffixes):
+        from paper_layout_parser_spark.operators.curation import (
+            with_registrable_domain,
+        )
+        df = spark.createDataFrame(
+            [(1, "a.b.example.com"),     # -> example.com
+             (2, "example.com"),         # -> example.com
+             (3, "deep.sub.site.co.uk"), # co.uk beats uk -> site.co.uk
+             (4, "user.github.io"),      # private-suffix style -> user.github.io
+             (5, "com"),                 # bare suffix -> NULL
+             (6, "intranet"),            # no suffix match -> NULL
+             (7, "10.0.0.1"),            # IP, no match -> NULL
+             (8, None)],                 # NULL host -> NULL
+            "id long, host string",
+        )
+        got = {r["id"]: r["domain"] for r in
+               with_registrable_domain(df, suffixes).collect()}
+        assert got == {1: "example.com", 2: "example.com",
+                       3: "site.co.uk", 4: "user.github.io",
+                       5: None, 6: None, 7: None, 8: None}
+
+    def test_broadcast_in_plan_and_row_preservation(self, spark, suffixes):
+        from paper_layout_parser_spark.operators.curation import (
+            with_registrable_domain,
+        )
+        df = spark.createDataFrame(
+            [(i, f"s{i % 7}.example.com", f"p{i}") for i in range(100)],
+            "id long, host string, payload string",
+        )
+        out = with_registrable_domain(df, suffixes)
+        assert out.count() == 100                  # left join: no row loss
+        assert set(out.columns) == {"id", "host", "payload", "domain"}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+    def test_composes_with_cap_per_host(self, spark, suffixes):
+        """The motivating composition: cap per registrable DOMAIN, so
+        sub-host sharding (s1.x.com, s2.x.com) cannot evade the cap."""
+        from paper_layout_parser_spark.operators.curation import (
+            cap_per_host,
+            with_registrable_domain,
+        )
+        df = spark.createDataFrame(
+            [(i, f"shard{i}.megafarm.com") for i in range(50)]
+            + [(100 + i, f"host{i}.example.org") for i in range(4)],
+            "doc_id long, host string",
+        )
+        out = cap_per_host(
+            with_registrable_domain(df, suffixes), 5, host_col="domain"
+        )
+        farm = out.where(F.col("host").contains("megafarm")).count()
+        other = out.where(F.col("host").contains("example")).count()
+        assert farm == 5 and other == 4
