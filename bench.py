@@ -257,13 +257,10 @@ def default_mode() -> None:
         for k, v in td.items():
             per_query_runs.setdefault(k, []).append(v)
 
-    def _median(v):
-        s = sorted(v)
-        m = len(s) // 2
-        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+    from statistics import median
 
     queries = {k: round(min(v), 3) for k, v in per_query_runs.items()}
-    medians = {k: round(_median(v), 3) for k, v in per_query_runs.items()}
+    medians = {k: round(median(v), 3) for k, v in per_query_runs.items()}
     spread = {k: round((max(v) - min(v)) / min(v), 3)
               for k, v in per_query_runs.items()}
     total = round(sum(queries.values()), 3)

@@ -47,10 +47,20 @@ def canonical_url(url: Column) -> Column:
     )
 
 
+def url_host_sql(expr: str) -> str:
+    """DuckDB twin of ``url_host`` — THE one host-extraction regex every
+    SQL twin shares (canonical_url_sql, curation.cap_per_host_sql), so
+    the engine-portability-critical pattern cannot drift between private
+    copies. Matches Spark's parse_url HOST for well-formed absolute URLs:
+    credentials (``user:pw@``) and port stripped, lowercased."""
+    return ("lower(regexp_extract(" + expr +
+            ", '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/?#]*@)?([^/:?#]+)', 1))")
+
+
 def canonical_url_sql(expr: str) -> str:
     """DuckDB twin of canonical_url (regexp component extraction)."""
     proto = f"lower(regexp_extract({expr}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
-    host = f"lower(regexp_extract({expr}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))"
+    host = url_host_sql(expr)
     path = (f"regexp_replace(regexp_extract({expr}, "
             f"'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$', '')")
     query = f"regexp_extract({expr}, '\\?([^#]*)', 1)"

@@ -334,13 +334,12 @@ def cap_per_host_sql(cap: int, url_expr: str = "url",
                      salt: str = "plp-hostcap",
                      id_expr: str = "doc_id") -> str:
     """DuckDB twin of cap_per_host's keep-predicate, as a QUALIFY-style
-    subquery fragment: same md5 ranking literals, host extracted with a
-    regex equivalent to Spark's parse_url(..., 'HOST') for well-formed
-    absolute URLs (lowercased authority host, credentials and port
-    stripped)."""
-    host = ("lower(regexp_extract(" + url_expr +
-            ", '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^@/?#]*@)?([^/:?#]+)', 1))")
-    return (f"row_number() OVER (PARTITION BY {host} "
+    subquery fragment: same md5 ranking literals, host extracted with the
+    ONE shared host-regex twin (functions.url.url_host_sql — private
+    copies drift, the salted_h8 lesson)."""
+    from ..functions.url import url_host_sql
+
+    return (f"row_number() OVER (PARTITION BY {url_host_sql(url_expr)} "
             f"ORDER BY {salted_h8_sql(salt, id_expr)}, {id_expr}) <= {cap}")
 
 

@@ -38,6 +38,7 @@ def asof_join(
     direction: str = "backward",
     suffix: str = "_r",
     hot_key_ranges: int | None = None,
+    hot_key_bounds: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row gets the right row with the
     greatest ``ts_col`` <= its own (direction='backward'; 'forward' takes
@@ -71,7 +72,14 @@ def asof_join(
     keys x N sized side computation, never a second pass over the data.
     Results are identical to the unsplit window (oracle-parity tested);
     the measured effect on the 50%-hot-key corpus is in BENCH/SKEW.md.
-    Costs one extra tiny job (the min/max timestamp probe) at call time."""
+    Cost: a min/max timestamp probe runs at call time — its OUTPUT is two
+    longs but it SCANS both inputs, re-executing any unmaterialized
+    upstream (persist the inputs first, or pass ``hot_key_bounds=(lo,
+    hi)`` epoch seconds — ANY bounds are correct, the bucketing is just
+    an affine grid (out-of-range rows get extra range indices and the
+    carry chain handles them); bounds only affect balance).
+    String ts columns are rejected (the seed's cast-to-string format
+    need not match the input's lexicographic format)."""
     import functools
 
     if direction not in ("backward", "forward"):
@@ -99,13 +107,27 @@ def asof_join(
     r = r.withColumn("__side", F.lit(right_side))
     part_cols = list(on)
     if hot_key_ranges and int(hot_key_ranges) > 1:
+        from pyspark.sql.types import StringType
+
+        if isinstance(l.schema["__ts"].dataType, StringType):
+            # a seed's cast(timestamp->string) format need not match the
+            # input's string format ('T' vs ' ' separator), which would
+            # misplace seeds in the lexicographic order — the unsplit
+            # window handles string ts fine, the split cannot
+            raise TypeError(
+                "hot_key_ranges requires a timestamp/numeric ts column; "
+                f"{ts_col!r} is a string — cast it first"
+            )
         n_rng = int(hot_key_ranges)
         epoch = F.col("__ts").cast("timestamp").cast("long")
-        b = (
-            l.select("__ts").unionByName(r.select("__ts"))
-            .agg(F.min(epoch).alias("lo"), F.max(epoch).alias("hi"))
-            .collect()[0]
-        )
+        if hot_key_bounds is not None:
+            b = {"lo": int(hot_key_bounds[0]), "hi": int(hot_key_bounds[1])}
+        else:
+            b = (
+                l.select("__ts").unionByName(r.select("__ts"))
+                .agg(F.min(epoch).alias("lo"), F.max(epoch).alias("hi"))
+                .collect()[0]
+            )
         if b["lo"] is not None:
             lo = int(b["lo"])
             width = max(1, -(-(int(b["hi"]) - lo + 1) // n_rng))
@@ -333,10 +355,13 @@ def interval_join(
     materialized ONCE and read by both its consumers (the matched output
     and the anti-join).
 
-    ``id_col`` names a caller-supplied column that is already UNIQUE per
-    point row (a primary key): the synthetic id and its eager
-    materialization are skipped entirely — no job runs at call time, and
-    the plan stays fully lazy/recomputable. ``checkpoint`` (a
+    ``id_col`` names a caller-supplied column that is already UNIQUE and
+    NON-NULL per point row (a primary key): the synthetic id and its
+    eager materialization are skipped entirely — no job runs at call
+    time, and the plan stays fully lazy/recomputable. NULL ids fail fast
+    in-plan (raise_error — a NULL would silently duplicate its row
+    through the anti-join); uniqueness is the caller's contract (a
+    duplicate id silently drops its unmatched twin). ``checkpoint`` (a
     sources.catalog.Catalog) swaps each localCheckpoint for a committed
     catalog table — localCheckpoint blocks are non-replicated, so on a
     cluster an executor loss would otherwise make the frame unrecoverable
@@ -348,8 +373,22 @@ def interval_join(
         raise ValueError(f"unknown how {how!r}")
     if how == "left":
         if id_col is not None:
-            # caller guarantees uniqueness — deterministic, no job needed
-            points = points.withColumn("__pid", F.col(id_col))
+            # caller guarantees uniqueness — deterministic, no job needed.
+            # NULLs are caught in-plan at execution time (zero extra
+            # jobs): a NULL id never matches the left_anti re-attach, so
+            # its row would silently come back TWICE (matched + padded).
+            # Uniqueness itself cannot be checked per-row and stays a
+            # documented contract: a duplicated id makes the anti-join
+            # drop its unmatched twin.
+            points = points.withColumn(
+                "__pid",
+                F.when(F.col(id_col).isNotNull(), F.col(id_col)).otherwise(
+                    F.raise_error(F.lit(
+                        f"interval_join id_col={id_col!r} contains NULLs; "
+                        "ids must be non-null and unique per point row"
+                    ))
+                ),
+            )
         else:
             # the id-tagged frame is materialized UP FRONT (eager: one job
             # before either consumer is scheduled) so the bucketed join

@@ -183,8 +183,12 @@ def _fmt0(col):
     detector outputs are non-negative by contract (detect.py rounds
     clipped boxes), and without the clamp a slightly-negative coordinate
     in (-0.5, 0) would print '0' here but '-0' through Python's f-string
-    — the clamp makes the 0 boundary explicit instead of silent."""
-    return F.bround(F.greatest(col, F.lit(0.0)), 0).cast("long")
+    — the clamp makes the 0 boundary explicit instead of silent. NULL
+    stays NULL (greatest skips nulls, which would fabricate a
+    plausible-looking 0 for a missing coordinate — guard it)."""
+    return F.when(
+        col.isNotNull(), F.bround(F.greatest(col, F.lit(0.0)), 0)
+    ).cast("long")
 
 
 def elements_description(detections: DataFrame) -> DataFrame:

@@ -319,3 +319,92 @@ class TestGlyphText:
         draw_text(img, 8, 8, "XX", (1, 1, 1))     # off bottom-right
         # no exception, and SOME ink landed from each partially-visible run
         assert img.any()
+
+
+class TestReviewHardening:
+    """Round-5 code-review fixes: contracts that silently corrupted
+    results now fail fast or propagate NULL."""
+
+    def test_interval_join_null_id_raises_in_plan(self, spark):
+        from paper_layout_parser_spark.operators.temporal import interval_join
+
+        points = spark.createDataFrame(
+            [(1, "u", _ts(10)), (None, "u", _ts(20))],
+            "pk long, user_id string, ts timestamp",
+        )
+        intervals = spark.createDataFrame(
+            [("u", _ts(0), _ts(100), 7)],
+            "user_id string, start timestamp, end timestamp, iv_id long",
+        )
+        # the left path materializes the bucketed join at call time, so
+        # the in-plan guard may fire at construction OR at collect
+        with pytest.raises(Exception, match="contains NULLs"):
+            interval_join(points, intervals, on=["user_id"],
+                          bucket_seconds=60, how="left",
+                          id_col="pk").collect()
+
+    def test_asof_hot_key_ranges_rejects_string_ts(self, spark):
+        from paper_layout_parser_spark.operators.temporal import asof_join
+
+        left = spark.createDataFrame(
+            [(1, "u", "2026-01-01T00:00:05")],
+            "event_id long, user_id string, ts string")
+        right = spark.createDataFrame(
+            [("u", "2026-01-01T00:00:01", 1.0)],
+            "user_id string, ts string, v double")
+        with pytest.raises(TypeError, match="string"):
+            asof_join(left, right, on=["user_id"], hot_key_ranges=4)
+
+    def test_asof_hot_key_bounds_skips_probe_and_matches(self, spark):
+        """Caller-supplied bounds: identical results (any affine grid is
+        correct), even deliberately wrong/narrow bounds."""
+        from paper_layout_parser_spark.operators.temporal import asof_join
+
+        left = spark.createDataFrame(
+            [(i, "u", _ts(i * 13)) for i in range(120)],
+            "event_id long, user_id string, ts timestamp")
+        right = spark.createDataFrame(
+            [("u", _ts(i * 29), float(i)) for i in range(60)],
+            "user_id string, ts timestamp, v double")
+        base = {(r["event_id"], r["v_r"]) for r in
+                asof_join(left, right, on=["user_id"]).collect()}
+        epoch0 = int(_ts(0).timestamp())
+        for lo, hi in [(epoch0, epoch0 + 120 * 13),
+                       (epoch0 + 500, epoch0 + 600)]:   # wrong on purpose
+            got = {(r["event_id"], r["v_r"]) for r in
+                   asof_join(left, right, on=["user_id"], hot_key_ranges=8,
+                             hot_key_bounds=(lo, hi)).collect()}
+            assert got == base, (lo, hi)
+
+    def test_fmt0_null_propagates(self, spark):
+        from paper_layout_parser_spark.operators.vlm_payload import _fmt0
+
+        df = spark.createDataFrame(
+            [(1, 3.4), (2, -0.3), (3, None)], "i long, v double"
+        ).select("i", _fmt0(F.col("v")).alias("f"))
+        got = {r["i"]: r["f"] for r in df.collect()}
+        assert got == {1: 3, 2: 0, 3: None}
+
+    def test_host_sql_twin_shared_and_userinfo_correct(self, spark):
+        """ONE host regex twin: canonical_url_sql and cap_per_host_sql
+        must both strip credentials exactly like Spark's parse_url."""
+        import duckdb
+
+        from paper_layout_parser_spark.functions.url import (
+            canonical_url,
+            canonical_url_sql,
+            url_host,
+            url_host_sql,
+        )
+        urls = ["http://user:pw@Host.COM:80/Path/?utm_a=1&b=2",
+                "https://plain.example.org/x"]
+        sdf = spark.createDataFrame([(u,) for u in urls], "url string").select(
+            url_host(F.col("url")).alias("h"),
+            canonical_url(F.col("url")).alias("c"))
+        srows = {r["h"]: r["c"] for r in sdf.collect()}
+        con = duckdb.connect()
+        for u in urls:
+            h, c = con.sql(
+                f"SELECT {url_host_sql('url')}, {canonical_url_sql('url')} "
+                f"FROM (SELECT '{u}' AS url)").fetchone()
+            assert h in srows and srows[h] == c, (u, h, c, srows)
