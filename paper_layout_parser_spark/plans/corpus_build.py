@@ -31,8 +31,10 @@ from pyspark.sql import functions as F
 from ..operators.curation import (
     DEFAULT_SPLIT_WEIGHTS,
     assign_split,
+    cap_per_host,
     clean_corpus,
     curation_funnel,
+    deterministic_shuffle,
 )
 from ..operators.dedup import dedup_lines
 
@@ -55,15 +57,28 @@ def curate_documents(
     max_line_occurrences: int = 1,
     split_weights: dict[str, float] | None = None,
     split_salt: str = "plp",
+    host_cap: int | None = None,
+    shuffle_salt: str | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Curation phase over any (id, text) table: funnel audit ->
-    surviving docs -> corpus-level line dedup -> split assignment.
-    Returns (audit, curated, funnel)."""
+    surviving docs -> optional per-host cap -> corpus-level line dedup ->
+    split assignment -> optional deterministic shuffle.
+    Returns (audit, curated, funnel).
+
+    ``host_cap=N`` keeps at most N surviving documents per host of the id
+    URL (curation.cap_per_host — the RefinedWeb per-domain guard),
+    applied AFTER the quality funnel so the cap spends its budget on
+    documents that survived, and BEFORE line dedup so a capped-out
+    template farm cannot poison the corpus-wide line counts.
+    ``shuffle_salt`` orders the final corpus with
+    curation.deterministic_shuffle (training order; salt = epoch)."""
     audit = clean_corpus(
         docs, benchmark=benchmark, lang=lang, min_quality=min_quality,
         id_col=id_col, text_col=text_col,
     )
     kept = docs.join(audit.where(F.col("keep")), id_col, "left_semi")
+    if host_cap:
+        kept = cap_per_host(kept, host_cap, url_col=id_col, id_col=id_col)
     deduped = dedup_lines(
         kept, max_occurrences=max_line_occurrences,
         id_col=id_col, text_col=text_col,
@@ -72,6 +87,9 @@ def curate_documents(
         deduped, weights=split_weights or DEFAULT_SPLIT_WEIGHTS,
         salt=split_salt, id_col=id_col,
     )
+    if shuffle_salt is not None:
+        curated = deterministic_shuffle(curated, salt=shuffle_salt,
+                                        id_col=id_col)
     return audit, curated, curation_funnel(audit)
 
 
@@ -83,6 +101,8 @@ def build_training_corpus(
     max_line_occurrences: int = 1,
     split_weights: dict[str, float] | None = None,
     split_salt: str = "plp",
+    host_cap: int | None = None,
+    shuffle_salt: str | None = None,
     pipeline_kwargs: dict | None = None,
 ) -> CorpusBuildOutputs:
     """Full build: raw pages table -> extracted text -> curated, split
@@ -97,6 +117,7 @@ def build_training_corpus(
         lang=lang, min_quality=min_quality,
         max_line_occurrences=max_line_occurrences,
         split_weights=split_weights, split_salt=split_salt,
+        host_cap=host_cap, shuffle_salt=shuffle_salt,
     )
     return CorpusBuildOutputs(
         extracted=extracted, audit=audit, curated=curated, funnel=funnel,

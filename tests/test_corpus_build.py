@@ -70,3 +70,31 @@ def test_curation_phase_reusable_standalone(spark):
         "a": True, "b": True, "c": False
     }
     assert curated.count() == 2
+
+
+def test_curation_host_cap_and_shuffle(spark):
+    """host_cap spends its budget on FUNNEL SURVIVORS (a capped template
+    farm can't crowd out good docs) and shuffle_salt yields a
+    deterministic training order."""
+    from paper_layout_parser_spark.plans.corpus_build import curate_documents
+
+    rows = [(f"https://farm.example/d{i:02d}",
+             f"unique farm page number {i} with words") for i in range(10)]
+    rows += [(f"https://ok.example/p{i}",
+              f"unique good page number {i} here") for i in range(3)]
+    docs = spark.createDataFrame(rows, "url string, doc_text string")
+    audit, curated, funnel = curate_documents(
+        docs, lang="und", min_quality=0.0, host_cap=4,
+        shuffle_salt="epoch-0",
+    )
+    out = curated.collect()   # already ordered by the shuffle
+    by_host = {}
+    for r in out:
+        host = r["url"].split("/")[2]
+        by_host[host] = by_host.get(host, 0) + 1
+    assert by_host == {"farm.example": 4, "ok.example": 3}
+    # deterministic order: same salt == same order, repartitioned input too
+    again = [r["url"] for r in curate_documents(
+        docs.repartition(7), lang="und", min_quality=0.0, host_cap=4,
+        shuffle_salt="epoch-0")[1].collect()]
+    assert again == [r["url"] for r in out]
