@@ -374,10 +374,16 @@ def with_registrable_domain(
     "b.co.uk" and "c.co.uk" are different sites while "a.b.com" and
     "b.com" are the same.
 
-    ``suffixes`` is a one-column (``suffix``) table of public suffixes
-    (e.g. the Mozilla Public Suffix List loaded from a file the caller
-    ships; tests use a fixture subset — this repo embeds no external
-    data). Longest-match wins, Public-Suffix-List semantics.
+    ``suffixes`` is a one-column (``suffix``) table of LITERAL suffixes
+    only — longest literal match wins. The full Public Suffix List
+    grammar's wildcard (``*.ck``) and exception (``!www.ck``) rules are
+    NOT interpreted here: a raw PSL file load would carry the literal
+    string ``*.ck``, which matches no host, silently mis-deriving
+    registrable domains under wildcard TLDs. Callers loading the real
+    PSL must pre-expand those rules into literals first (drop the ``!``
+    prefix for exceptions; expand ``*.ck`` against the label sets they
+    care about, or accept plain-``ck`` fallback semantics). Tests use a
+    literal fixture subset — this repo embeds no external data.
 
     Plan: DISTINCT hosts (orders of magnitude fewer than rows — the point
     of domains) each explode into their trailing suffix candidates

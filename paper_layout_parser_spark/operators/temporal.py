@@ -79,7 +79,15 @@ def asof_join(
     an affine grid (out-of-range rows get extra range indices and the
     carry chain handles them); bounds only affect balance).
     String ts columns are rejected (the seed's cast-to-string format
-    need not match the input's lexicographic format)."""
+    need not match the input's lexicographic format).
+    Precondition: the "identical results" parity holds under the
+    unique-(keys, ts) right-side contract above. With duplicate right
+    rows on the same (keys, ts), the split path's max_by/min_by picks an
+    arbitrary payload among the tied rows that may differ from the
+    unsplit window's equally-arbitrary last()/first() pick — both
+    answers are valid as-of results, but they need not be the SAME row;
+    pre-aggregate duplicated right timestamps before enabling the
+    knob if bit-reproducibility across the two paths matters."""
     import functools
 
     if direction not in ("backward", "forward"):

@@ -179,13 +179,17 @@ def classify_elements(detections: DataFrame) -> DataFrame:
 def _fmt0(col):
     """Python's ``{v:.0f}`` — round-half-even to an integer string
     (``bround``; the reference formats positions through f-strings,
-    prompts.py:101,107,118). Coordinates are clamped to >= 0 first:
-    detector outputs are non-negative by contract (detect.py rounds
-    clipped boxes), and without the clamp a slightly-negative coordinate
-    in (-0.5, 0) would print '0' here but '-0' through Python's f-string
-    — the clamp makes the 0 boundary explicit instead of silent. NULL
-    stays NULL (greatest skips nulls, which would fabricate a
-    plausible-looking 0 for a missing coordinate — guard it)."""
+    prompts.py:101,107,118). Coordinates are clamped to >= 0 first — a
+    DELIBERATE DIVERGENCE from the reference, which feeds raw values
+    through the f-string (a -2.0 prints '-2' there, '0' here; a value in
+    (-0.5, 0) prints the artifact '-0' there, '0' here). This engine's
+    own detection path only emits page-clipped non-negative boxes, so
+    the divergence is unreachable on pipeline output; the clamp exists
+    for caller-supplied detection tables, where a silently negative
+    prompt coordinate is a data bug we'd rather normalize at the 0
+    boundary than format. NULL stays NULL (greatest skips nulls, which
+    would fabricate a plausible-looking 0 for a missing coordinate —
+    guard it)."""
     return F.when(
         col.isNotNull(), F.bround(F.greatest(col, F.lit(0.0)), 0)
     ).cast("long")

@@ -58,6 +58,7 @@ def curate_documents(
     split_weights: dict[str, float] | None = None,
     split_salt: str = "plp",
     host_cap: int | None = None,
+    host_col: str | None = None,
     shuffle_salt: str | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Curation phase over any (id, text) table: funnel audit ->
@@ -65,20 +66,40 @@ def curate_documents(
     split assignment -> optional deterministic shuffle.
     Returns (audit, curated, funnel).
 
-    ``host_cap=N`` keeps at most N surviving documents per host of the id
-    URL (curation.cap_per_host — the RefinedWeb per-domain guard),
-    applied AFTER the quality funnel so the cap spends its budget on
-    documents that survived, and BEFORE line dedup so a capped-out
-    template farm cannot poison the corpus-wide line counts.
+    ``host_cap=N`` keeps at most N surviving documents per host
+    (curation.cap_per_host — the RefinedWeb per-domain guard), applied
+    AFTER the quality funnel so the cap spends its budget on documents
+    that survived, and BEFORE line dedup so a capped-out template farm
+    cannot poison the corpus-wide line counts. The host comes from
+    ``host_col`` if given, else is parsed from the id column — which
+    must then be a URL: a non-URL id parses to a NULL host for EVERY
+    row, all rows group as one host, and the corpus silently truncates
+    to N documents total. Guarded: when ``host_cap`` is set without
+    ``host_col``, a tiny probe (first ≤200 ids) must parse at least one
+    host or this raises ValueError.
     ``shuffle_salt`` orders the final corpus with
     curation.deterministic_shuffle (training order; salt = epoch)."""
+    if host_cap and host_col is None:
+        from ..functions.url import url_host
+
+        probe = (docs.select(url_host(F.col(id_col)).alias("__h"))
+                 .limit(200).where(F.col("__h").isNotNull()).take(1))
+        if not probe:
+            raise ValueError(
+                f"host_cap={host_cap} parses hosts from id column "
+                f"{id_col!r}, but none of the first 200 ids parsed as a "
+                "URL — every row would group under the NULL host and the "
+                "corpus would truncate to host_cap rows total. Pass "
+                "host_col= naming a real host/domain column instead."
+            )
     audit = clean_corpus(
         docs, benchmark=benchmark, lang=lang, min_quality=min_quality,
         id_col=id_col, text_col=text_col,
     )
     kept = docs.join(audit.where(F.col("keep")), id_col, "left_semi")
     if host_cap:
-        kept = cap_per_host(kept, host_cap, url_col=id_col, id_col=id_col)
+        kept = cap_per_host(kept, host_cap, url_col=id_col, id_col=id_col,
+                            host_col=host_col)
     deduped = dedup_lines(
         kept, max_occurrences=max_line_occurrences,
         id_col=id_col, text_col=text_col,
@@ -102,6 +123,7 @@ def build_training_corpus(
     split_weights: dict[str, float] | None = None,
     split_salt: str = "plp",
     host_cap: int | None = None,
+    host_col: str | None = None,
     shuffle_salt: str | None = None,
     pipeline_kwargs: dict | None = None,
 ) -> CorpusBuildOutputs:
@@ -117,7 +139,7 @@ def build_training_corpus(
         lang=lang, min_quality=min_quality,
         max_line_occurrences=max_line_occurrences,
         split_weights=split_weights, split_salt=split_salt,
-        host_cap=host_cap, shuffle_salt=shuffle_salt,
+        host_cap=host_cap, host_col=host_col, shuffle_salt=shuffle_salt,
     )
     return CorpusBuildOutputs(
         extracted=extracted, audit=audit, curated=curated, funnel=funnel,

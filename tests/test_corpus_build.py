@@ -98,3 +98,25 @@ def test_curation_host_cap_and_shuffle(spark):
         docs.repartition(7), lang="und", min_quality=0.0, host_cap=4,
         shuffle_salt="epoch-0")[1].collect()]
     assert again == [r["url"] for r in out]
+
+
+def test_host_cap_fails_fast_on_non_url_ids(spark):
+    """ADVICE r5: host_cap with non-URL ids used to parse every host to
+    NULL, group ALL rows as one host, and silently truncate the corpus
+    to host_cap rows total. Now it raises, and host_col= is the escape
+    hatch for (id, text) tables whose ids are not URLs."""
+    import pytest as _pytest
+    from paper_layout_parser_spark.plans.corpus_build import curate_documents
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i}", f"unique text number {i} here", f"h{i % 3}")
+         for i in range(12)],
+        "url string, doc_text string, site string",
+    )
+    with _pytest.raises(ValueError, match="host_col"):
+        curate_documents(docs.drop("site"), lang="und", min_quality=0.0,
+                         host_cap=2)
+    # explicit host column: capped per site, not truncated to 2 total
+    _, curated, _ = curate_documents(
+        docs, lang="und", min_quality=0.0, host_cap=2, host_col="site")
+    assert curated.count() == 6
