@@ -717,14 +717,6 @@ def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_exact(_docs(spark, sf_dir))
 
 
-def q_sketch_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only (sketch results are implementation-specific); pytest bounds
-    # the error against the exact twin
-    from paper_layout_parser_spark.operators.sketches import profile_sketch
-
-    return profile_sketch(_docs(spark, sf_dir))
-
-
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation funnel (lang -> quality -> dup -> decontam)
     with per-document drop reasons — every rule's oracle twin is composed
@@ -744,12 +736,19 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + token counts in one projection — both are tiny
+    column-math surfaces over the same documents scan, merged in round 6
+    to free a registry slot for the round-5 curation operators (the
+    driver gate records at most 50 queries)."""
     d = _docs(spark, sf_dir)
     feats = tfn.quality_features(F.col("text"))
+    counts = tfn.token_counts(F.col("text"))
     out = d.select(
         "doc_id",
         F.col("n_chars").alias("meta_n_chars"),
         *[v.alias(k) for k, v in feats.items()],
+        counts["ws_tokens"].cast("long").alias("ws_tokens"),
+        counts["re_tokens"].cast("long").alias("re_tokens"),
     )
     return out.withColumn(
         "quality_score",
@@ -757,16 +756,6 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("stopword_ratio"), F.col("alpha_ratio"), F.col("punct_ratio")
         ),
     ).drop("meta_n_chars")
-
-
-def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    counts = tfn.token_counts(F.col("text"))
-    return d.select(
-        "doc_id",
-        counts["ws_tokens"].cast("long").alias("ws_tokens"),
-        counts["re_tokens"].cast("long").alias("re_tokens"),
-    )
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -779,6 +768,67 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The synthetic documents table has no URL column; derive one
+# deterministically from (source, doc_id) so the host parse is genuinely
+# exercised — ONE expression string shared verbatim by Spark's F.expr and
+# the DuckDB oracle (the salted_h8 lesson: portability-critical literals
+# get exactly one home).
+_HOSTCAP_URL = ("concat('https://', source, '.example.org/doc/', "
+                "CAST(doc_id AS STRING))")
+_HOSTCAP_CAP = 3
+
+
+def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document cap (the RefinedWeb/FineWeb per-domain guard,
+    curation.cap_per_host): deterministic md5-ranked survivors, host
+    parsed from the url. Seated in round 6 in place of the permanently
+    oracle-less sketch_stats_approx so the driver gate witnesses the
+    round-5 curation operators (VERDICT r5 ask #1)."""
+    from paper_layout_parser_spark.functions.url import url_host
+    from paper_layout_parser_spark.operators.curation import cap_per_host
+
+    d = _docs(spark, sf_dir).withColumn("url", F.expr(_HOSTCAP_URL))
+    out = cap_per_host(d, _HOSTCAP_CAP, url_col="url", id_col="doc_id")
+    return out.select(
+        "doc_id", url_host(F.col("url")).alias("host")
+    )
+
+
+# Literal public-suffix fixture (with_registrable_domain takes literal
+# suffixes only — see its docstring): multi-label suffixes shadow their
+# single-label tails so longest-match is genuinely exercised.
+_PSL_FIXTURE = ("com", "org", "uk", "co.uk", "io", "github.io")
+
+# Host shapes: 2-label, 3-label under a 2-label suffix, 4-label under a
+# 2-label suffix, a host matching NO suffix, and a bare-suffix host (the
+# last two must yield NULL domains). Shared Spark/DuckDB expression.
+_RD_HOST = (
+    "CASE CAST(doc_id % 5 AS INT) "
+    "WHEN 0 THEN concat('w', CAST(doc_id % 7 AS STRING), '.', source, "
+    "'.co.uk') "
+    "WHEN 1 THEN concat(source, '.com') "
+    "WHEN 2 THEN concat('a.b.', source, '.github.io') "
+    "WHEN 3 THEN 'intranet-host' "
+    "ELSE 'com' END"
+)
+
+
+def q_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable domain / eTLD+1 annotation (curation.
+    with_registrable_domain): DISTINCT hosts explode into trailing-suffix
+    candidates, broadcast-join the suffix table, longest match + one
+    label. The DuckDB twin derives the same answer via an INDEPENDENT
+    formulation (ends_with against every suffix) — same results from
+    different plans is the point of the oracle."""
+    from paper_layout_parser_spark.operators.curation import (
+        with_registrable_domain,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", F.expr(_RD_HOST).alias("host"))
+    sx = spark.createDataFrame([(s,) for s in _PSL_FIXTURE], "suffix string")
+    return with_registrable_domain(d, sx, host_col="host", out_col="domain")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline on sf0.001 — per-url document text
     (byte-identity surface) joined with per-doc stats."""
@@ -788,11 +838,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry contract: EXACTLY 50 entries, oracle-checked queries first
-    and the two genuinely-oracle-less approximate surfaces last — the
-    driver's correctness gate records at most 50 queries in dict order
-    (round 3 silently dropped the 51st), so the ordering guarantees every
-    hash-checkable query lands in CORRECTNESS_r{N}.json."""
+    """Registry contract: EXACTLY 50 entries, every one oracle-checked —
+    the driver's correctness gate records at most 50 queries in dict
+    order (round 3 silently dropped the 51st). Round-6 rotation
+    (VERDICT r5 ask #1): sketch_stats_approx retired (permanently
+    no_oracle — sketch internals are engine-specific; its error bound
+    vs the exact twin stays in tests/test_trainingdata.py) and
+    token_count merged into quality (two tiny projections over the same
+    scan), freeing two slots for the round-5 curation operators
+    host_cap and registrable_domain."""
     return {
         # --- extraction pipeline (oracle-checked) ---
         "page_stats": q_page_stats,
@@ -844,13 +898,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_stats": q_sketch_stats,
         "lang_id": q_lang_id,
         "quality": q_quality,
-        "token_count": q_token_count,
         "fingerprint": q_fingerprint,
-        # --- rows-only tail (sketch internals are implementation-specific
-        # — no independent engine re-derives them; error-bounded in pytest.
-        # ann_ivf moved into the oracle-checked block in round 5: md5 init
-        # + scaled-integer means made training itself engine-portable.)
-        "sketch_stats_approx": q_sketch_stats_approx,
+        "host_cap": q_host_cap,
+        "registrable_domain": q_registrable_domain,
     }
 
 
@@ -896,6 +946,8 @@ WITH d AS (
 ),
 f AS (
   SELECT doc_id, n_chars, n_words,
+         len(w) AS ws_tokens,
+         len(regexp_extract_all(text, '{tfn.BPE_ISH}')) AS re_tokens,
          {_RH4('(n_chars - (n_words - 1)) / (CASE WHEN n_words > 0 THEN n_words ELSE 1 END)')} AS avg_word_len,
          {_RH4('n_alpha / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END)')} AS alpha_ratio,
          {_RH4('n_punct / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END)')} AS punct_ratio,
@@ -903,7 +955,7 @@ f AS (
   FROM d
 )
 SELECT doc_id, n_chars, n_words, avg_word_len, alpha_ratio, punct_ratio,
-       stopword_ratio,
+       stopword_ratio, ws_tokens, re_tokens,
        {_RH4('LEAST(stopword_ratio * 4, 1.0) * 0.4 + alpha_ratio * 0.4 + (1 - LEAST(punct_ratio * 5, 1.0)) * 0.2')} AS quality_score
 FROM f"""
 
@@ -1531,6 +1583,50 @@ SELECT make_timestamp(CAST(floor(epoch(ts) / 300) * 300 * 1000000 AS BIGINT)) AS
 FROM events GROUP BY 1, 2, 3"""
 
 
+def _host_cap_sql() -> str:
+    """DuckDB twin of q_host_cap: the shared url-derivation literal, the
+    shared host regex (url_host_sql), and cap_per_host_sql's QUALIFY
+    keep-predicate (same md5 ranking literals as the Spark window)."""
+    from paper_layout_parser_spark.functions.url import url_host_sql
+    from paper_layout_parser_spark.operators.curation import cap_per_host_sql
+
+    return f"""
+WITH d AS (SELECT doc_id, {_HOSTCAP_URL.replace('AS STRING', 'AS VARCHAR')} AS url FROM documents)
+SELECT doc_id, {url_host_sql('url')} AS host
+FROM d QUALIFY {cap_per_host_sql(_HOSTCAP_CAP)}"""
+
+
+def _registrable_domain_sql() -> str:
+    """DuckDB twin of q_registrable_domain via an INDEPENDENT longest-
+    suffix formulation: instead of exploding trailing candidates, join
+    every (host, suffix) pair on host = suffix OR ends_with(host,
+    '.'||suffix) and keep the label-longest suffix; eTLD+1 is that
+    suffix plus one label. Bare-suffix hosts and no-match hosts yield
+    NULL, matching the Spark operator's n_labels > best_len guard."""
+    values = ", ".join(f"('{s}')" for s in _PSL_FIXTURE)
+    return f"""
+WITH d AS (SELECT doc_id, {_RD_HOST.replace('AS STRING', 'AS VARCHAR')} AS host FROM documents),
+sx AS (SELECT * FROM (VALUES {values}) s(suffix)),
+hosts AS (SELECT DISTINCT host FROM d WHERE host IS NOT NULL),
+best AS (
+  SELECT h.host, max(len(string_split(s.suffix, '.'))) AS best_len
+  FROM hosts h JOIN sx s
+    ON h.host = s.suffix OR ends_with(h.host, '.' || s.suffix)
+  GROUP BY h.host
+),
+m AS (
+  SELECT b.host,
+         CASE WHEN len(string_split(b.host, '.')) > b.best_len
+              THEN array_to_string(
+                string_split(b.host, '.')[
+                  len(string_split(b.host, '.')) - b.best_len:], '.')
+         END AS domain
+  FROM best b
+)
+SELECT d.doc_id, d.host, m.domain
+FROM d LEFT JOIN m ON d.host = m.host"""
+
+
 def oracle_sql() -> dict[str, str]:
     det = sd.detections_cte("documents")
     matched = sd.matched_items_cte("documents")
@@ -1721,18 +1817,15 @@ SELECT lang, count(DISTINCT n_chars) AS n_distinct,
 FROM documents GROUP BY lang""",
         "lang_id": _lang_sql(),
         "quality": _quality_sql(),
-        "token_count": f"""
-SELECT doc_id,
-       len({_W}) AS ws_tokens,
-       len(regexp_extract_all(text, '{tfn.BPE_ISH}')) AS re_tokens
-FROM documents""",
         "fingerprint": f"""
 WITH d AS (SELECT doc_id, text, {_W} AS w FROM documents)
 SELECT doc_id, md5(text) AS full_md5,
        list_min([md5(s) for s in {_SHINGLES}]) AS min_shingle_md5
 FROM d""",
-        # sketch_stats_approx: intentionally omitted — sketch internals
-        # (HLL++/GK) are implementation-specific; pytest error-bounds it
-        # against its exact twin. (ann_ivf gained a full training-included
-        # oracle in round 5 — see _ann_ivf_sql.)
+        "host_cap": _host_cap_sql(),
+        "registrable_domain": _registrable_domain_sql(),
+        # (r6) token_count merged into quality; sketch_stats_approx
+        # retired from the registry — sketch internals (HLL++/GK) are
+        # implementation-specific; pytest error-bounds profile_sketch
+        # against its exact twin (tests/test_trainingdata.py).
     }

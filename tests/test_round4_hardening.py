@@ -200,4 +200,8 @@ class TestRegistryContract:
                 )
             else:
                 seen_rows_only = True
-        assert len(oracles) == 49  # r5: ann_ivf gained a training-included oracle
+        # r6 rotation: sketch_stats_approx retired, token_count merged
+        # into quality, host_cap + registrable_domain seated — every
+        # registry query now has an oracle
+        assert len(oracles) == 50
+        assert "host_cap" in oracles and "registrable_domain" in oracles
