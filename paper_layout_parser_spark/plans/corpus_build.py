@@ -126,14 +126,33 @@ def build_training_corpus(
     host_col: str | None = None,
     shuffle_salt: str | None = None,
     pipeline_kwargs: dict | None = None,
+    catalog=None,
+    checkpoint_table: str = "corpus_extracted",
 ) -> CorpusBuildOutputs:
     """Full build: raw pages table -> extracted text -> curated, split
     training corpus. ``benchmark`` (any table with a text column named
-    like ``text_col``... here ``doc_text``) enables decontamination."""
+    like ``text_col``... here ``doc_text``) enables decontamination.
+
+    ``catalog`` (a sources.catalog.Catalog) makes the module docstring's
+    "checkpoint ``extracted`` between the two phases" contract CODE: the
+    extraction phase commits ``extracted`` (with per-partition lineage)
+    to ``checkpoint_table`` and the curation phase reads the committed
+    table back — the audit/kept/line-dedup branches, which each consume
+    ``extracted`` several times, then scan parquet instead of re-running
+    the rasterize+detect UDF chain, and a killed curation phase resumes
+    from the committed snapshot without re-extracting anything."""
     from .pipeline import run_pipeline
 
     out = run_pipeline(pages, **(pipeline_kwargs or {}))
     extracted = out.doc_text
+    if catalog is not None:
+        extracted = catalog.checkpoint_stage(
+            extracted, checkpoint_table, page_col=None
+        )
+        # the committed table replaces every downstream read of the
+        # extraction lineage — release the enriched cache immediately
+        # instead of pinning executor memory through the curation phase
+        out.enriched.unpersist()
     audit, curated, funnel = curate_documents(
         extracted, benchmark=benchmark, id_col="url", text_col="doc_text",
         lang=lang, min_quality=min_quality,

@@ -120,3 +120,36 @@ def test_host_cap_fails_fast_on_non_url_ids(spark):
     _, curated, _ = curate_documents(
         docs, lang="und", min_quality=0.0, host_cap=2, host_col="site")
     assert curated.count() == 6
+
+
+def test_checkpointed_build_matches_and_never_reextracts(spark, tmp_path):
+    """catalog= makes the docstring's 'checkpoint extracted between
+    phases' contract code: curated results are identical to the
+    uncheckpointed build, the curation phase's physical plan contains NO
+    Python-UDF stages (it scans the committed table instead of re-running
+    rasterize+detect), and the checkpoint recorded lineage rows."""
+    from paper_layout_parser_spark.sources.catalog import Catalog
+
+    pages = build_pages(spark, SF_SMALL).where(
+        F.regexp_extract("url", r"([0-9]+)$", 1).cast("long") < 10
+    )
+    plain = build_training_corpus(pages, lang="und", min_quality=0.0,
+                                  host_cap=4, shuffle_salt="epoch-0")
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ckpt = build_training_corpus(pages, lang="und", min_quality=0.0,
+                                 host_cap=4, shuffle_salt="epoch-0",
+                                 catalog=cat)
+    want = [(r["url"], r["clean_text"], r["split"])
+            for r in plain.curated.collect()]
+    got = [(r["url"], r["clean_text"], r["split"])
+           for r in ckpt.curated.collect()]
+    assert got == want and got
+
+    plan = ckpt.curated._jdf.queryExecution().executedPlan().toString()
+    for udf_node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython",
+                     "FlatMapGroupsInPandas"):
+        assert udf_node not in plan, f"{udf_node} in curation-phase plan"
+    lineage = cat.read("corpus_extracted__lineage")
+    n_docs = plain.extracted.count()
+    agg = lineage.agg(F.sum("rows_out").alias("rows")).collect()[0]
+    assert agg["rows"] == n_docs
