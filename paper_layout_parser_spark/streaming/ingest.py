@@ -104,8 +104,46 @@ def run_incremental_extraction(
         committed_table = (
             "_".join(t for t, _, _ in stage_tables) + "__committed_urls"
         )
+    _bootstrap_key_tables(catalog, stage_tables, committed_table,
+                          committed_table + "__inflight")
+
+    def run_stages(todo: DataFrame):
+        out = run_pipeline(todo, **kwargs)
+        return ([(t, getattr(out, attr), page_col)
+                 for t, attr, page_col in stage_tables],
+                out.enriched.unpersist)
+
+    process_batch = exactly_once_batch_committer(
+        catalog, committed_table, run_stages
+    )
+    q = (
+        stream_pages(spark, pages_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def exactly_once_batch_committer(catalog: Catalog, committed_table: str,
+                                 run_stages):
+    """The compact key-table exactly-once commit path as a reusable
+    ``foreachBatch`` callable — shared by the availableNow backlog drain
+    above and any steady-trigger (``processingTime``) deployment.
+
+    ``run_stages(todo_df) -> (stages, cleanup)`` where ``stages`` is a
+    list of ``(table, df, page_col)`` to commit for this batch and
+    ``cleanup`` (or None) runs after the commit (cache release).
+
+    Contract (the docstring of run_incremental_extraction has the full
+    story): one left-anti against the url-only ``committed_table`` gates
+    re-delivery in O(keys); ``<committed_table>__inflight`` is appended
+    BEFORE the stage writes so a crash mid-commit makes the re-delivered
+    urls suspicious on the next run, and only then does the per-table
+    ``pending_inputs`` safety net (which reads stage tables) engage."""
     inflight_table = committed_table + "__inflight"
-    _bootstrap_key_tables(catalog, stage_tables, committed_table, inflight_table)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         todo = batch_df
@@ -124,27 +162,19 @@ def run_incremental_extraction(
         # mark in-flight BEFORE the stage writes: a crash mid-commit makes
         # the re-delivered urls suspicious on the next run
         catalog.append(todo_urls, inflight_table)
-        out = run_pipeline(todo, **kwargs)
-        for t, attr, page_col in stage_tables:
-            df = getattr(out, attr)
+        stages, cleanup = run_stages(todo)
+        for t, df, page_col in stages:
             # stage tables are only re-read for dedup when a crash window
             # was detected; the steady-state path writes straight through
             fresh = (catalog.pending_inputs(df, t, key="url")
                      if suspicious else df)
             catalog.checkpoint_stage(fresh, t, url_col="url", page_col=page_col)
         catalog.append(todo_urls, committed_table)
-        out.enriched.unpersist()
+        if cleanup is not None:
+            cleanup()
         todo_urls.unpersist()
 
-    q = (
-        stream_pages(spark, pages_dir)
-        .writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return q
+    return process_batch
 
 
 def stream_dedup(df: DataFrame, keys: list[str], ts_col: str = "ts",
