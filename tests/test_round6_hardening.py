@@ -83,3 +83,63 @@ def test_exactly_once_under_processing_time_trigger(spark, tmp_path):
     inflight = {r["url"] for r in
                 cat.read("rate_committed__inflight").distinct().collect()}
     assert committed <= inflight
+
+
+def test_assign_clusters_arrow_parity(spark):
+    """The numpy-matmul assignment twin must agree with the native HOF
+    fold exactly on separated data (the documented seam is sub-ulp
+    cosine ties only), including the zero-vector guard."""
+    from paper_layout_parser_spark.operators.similarity import (
+        assign_clusters,
+        assign_clusters_arrow,
+    )
+
+    dim, n_clusters = 32, 8
+    # cluster c's members sit at 10*e_c plus small deterministic noise;
+    # one all-zero vector pins the norm guard (all cosines 0 -> both
+    # paths tie-break to centroid 0)
+    base = spark.range(400).selectExpr(
+        "id AS vec_id",
+        f"CAST(id % {n_clusters} AS INT) AS want",
+        f"""transform(sequence(0, {dim - 1}), j ->
+              CASE WHEN id = 0 THEN CAST(0.0 AS DOUBLE)
+                   ELSE CAST(10.0 * CAST(j = CAST(id % {n_clusters} AS INT) AS INT)
+                        + pmod(xxhash64(id, j), 100) / 1000.0 AS DOUBLE)
+              END) AS embedding""",
+    )
+    centroids = [[10.0 if j == c else 0.0 for j in range(dim)]
+                 for c in range(n_clusters)]
+    native = assign_clusters(base, centroids)
+    arrow = assign_clusters_arrow(base, centroids)
+    rows_n = {r["vec_id"]: r["cluster"] for r in native.collect()}
+    rows_a = {r["vec_id"]: r["cluster"] for r in arrow.collect()}
+    assert rows_a == rows_n
+    # ground truth: noisy members land on their own centroid; the zero
+    # vector tie-breaks to 0 on both paths
+    want = {r["vec_id"]: r["want"] for r in base.collect()}
+    want[0] = 0
+    assert rows_n == want
+
+
+def test_ivf_topk_arrow_matches_native(spark):
+    """End-to-end ivf_topk with assign_impl='arrow' (arrow training +
+    arrow corpus assignment) returns the same neighbor sets as the
+    native path on separated data."""
+    from paper_layout_parser_spark.operators.similarity import ivf_topk
+
+    dim = 16
+    emb = spark.range(120).selectExpr(
+        "id AS vec_id",
+        f"""transform(sequence(0, {dim - 1}), j ->
+              CAST(5.0 * CAST(j = CAST(id % 4 AS INT) AS INT)
+                   + pmod(xxhash64(id, j), 100) / 500.0 AS DOUBLE)
+            ) AS embedding""",
+    )
+    queries = emb.where("vec_id < 8")
+    kw = dict(k=5, num_centroids=4, nprobe=2, max_iter=3, dim=dim)
+    got_n = {(r["query_id"], r["rank"], r["neighbor_id"])
+             for r in ivf_topk(emb, queries, **kw).collect()}
+    got_a = {(r["query_id"], r["rank"], r["neighbor_id"])
+             for r in ivf_topk(emb, queries, assign_impl="arrow",
+                               **kw).collect()}
+    assert got_a == got_n and got_n
