@@ -1021,16 +1021,21 @@ skewed corpus:
 | seeds side job alone (finals + spine + carry) | {asof['asof_seeds_job_s']:.2f} | — |
 
 Reading: passing ``hot_key_bounds`` removes the call-time min/max scan
-({asof['asof_bounds_probe_s']:.2f} s); raising N from
-{asof['asof_hot_key_ranges']} to {4 * asof['asof_hot_key_ranges']}
-addresses hash lumpiness — with N hot (key, range) pairs hashed into
-2xCPUS shuffle partitions, some buckets win 2-3 hot ranges and straggle
-at 2-3x the ideal bucket, while 4N ranges average out per bucket. The
-seeds job ({asof['asof_seeds_job_s']:.2f} s) is the knob's fixed
-overhead (grows with keys x N, not with data). Guidance: pass bounds
-when the inputs are not already materialized, and size N at ~4x the
-shuffle parallelism rather than 1x — the per-range sort is cheaper than
-the straggler it removes.
+({asof['asof_bounds_probe_s']:.2f} s: ratio
+{asof['asof_skew_split_ratio']:.2f} -> {asof['asof_skew_split_bounds_ratio']:.2f}).
+{'Raising N to ' + str(4 * asof['asof_hot_key_ranges']) + ' smooths hash lumpiness further (' + f"{asof['asof_skew_split_4x_ratio']:.2f}" + ') — some shuffle buckets win 2-3 hot ranges at N=' + str(asof['asof_hot_key_ranges']) + '.'
+ if asof['asof_skew_split_4x_s'] < asof['asof_skew_split_bounds_s'] else
+ 'Raising N to ' + str(4 * asof['asof_hot_key_ranges']) + ' does NOT help (' + f"{asof['asof_skew_split_4x_ratio']:.2f}" + ' vs ' + f"{asof['asof_skew_split_bounds_ratio']:.2f}" + ' at N=' + str(asof['asof_hot_key_ranges']) + '): the per-(key,range) sort is not the binding term, so finer ranges only grow the seeds/spine side work.'}
+The floor under the bounds-passed ratio is the seeds computation —
+measured {asof['asof_seeds_job_s']:.2f} s standalone (finals groupBy +
+spine distinct + carry window; inside the fused plan it shares the
+cached scans, so its incremental cost is the
+{asof['asof_skew_split_bounds_s'] - asof['asof_even_s']:+.2f} s
+residual, not the standalone wall). Guidance: N ~= core count (the
+default) with ``hot_key_bounds`` passed is the operating point; the
+remaining overhead is the price of the carry-over seeds that make the
+split exact, and the pre-agg mitigation stays first choice when the
+consumer tolerates bucketed right rows.
 """)
     print(json.dumps({
         "skew_ratio": round(ratio, 3),

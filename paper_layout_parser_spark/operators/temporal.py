@@ -71,7 +71,12 @@ def asof_join(
     first later one for 'forward') is injected at the range boundary — a
     keys x N sized side computation, never a second pass over the data.
     Results are identical to the unsplit window (oracle-parity tested);
-    the measured effect on the 50%-hot-key corpus is in BENCH/SKEW.md.
+    the measured effect on the 50%-hot-key corpus is in BENCH/SKEW.md,
+    whose r6 attribution sets the operating point: N ~= core count
+    (finer ranges do NOT help — the per-range sort is not the binding
+    term, and the seeds/spine side work grows with keys x N) and
+    ``hot_key_bounds=`` passed when known (the in-plan probe scan is
+    the single largest removable component).
     Cost: a min/max timestamp probe runs at call time — its OUTPUT is two
     longs but it SCANS both inputs, re-executing any unmaterialized
     upstream (persist the inputs first, or pass ``hot_key_bounds=(lo,
