@@ -410,13 +410,21 @@ names the stage.
             stage_eff[st] = (wlo / whi) / 4
             f.write(f"| {st} | {wlo:.2f} | {whi:.2f} | "
                     f"{wlo / whi:.2f}x | {stage_eff[st]:.3f} |\n")
-        worst = min(stage_eff, key=stage_eff.get)
+        dominant = max(results[lo]["stages"], key=results[lo]["stages"].get)
+        dom_frac = (results[lo]["stages"][dominant]
+                    / sum(results[lo]["stages"].values()))
+        small = [st for st in stage_eff
+                 if st != dominant and results[hi]["stages"][st] < 5.0]
         f.write(f"""
-Worst-scaling stage: **{worst}** ({stage_eff[worst]:.3f}). The
-{'' if stage_eff[worst] >= 0.8 else 'sub-target '}per-stage floor bounds
-the end-to-end number; plan_splits is expected to scale worst (it is a
-short scan-dominated probe whose fixed job-submission cost does not
-shrink with cores) and contributes the least absolute wall.
+Reading: the dominant stage is **{dominant}**
+({dom_frac:.0%} of the summed stage wall at @{lo}), scaling at
+**{stage_eff[dominant]:.3f}** — that is the engine's real scaling
+number. The remaining stages ({', '.join(sorted(small))}) run in
+seconds at this corpus size, so their walls are job-submission +
+fixed-shuffle overhead that does not shrink with cores; their low
+per-stage "efficiency" is an artifact of being overhead-dominated, and
+they drag the composite toward the measured end-to-end figure. A drift
+in the end-to-end number is real only if {dominant}'s row moves.
 """)
     print(json.dumps({"eff": round(eff, 3),
                       "pages_per_sec_8": round(thr8, 1),
