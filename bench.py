@@ -478,46 +478,74 @@ def ann_capacity_mode() -> None:
      .write.mode("overwrite").parquet(path))
     emb = spark.read.parquet(path)
     emb_slice = emb.where(F.col("vec_id") < n_slice)
+    # warm-up: JVM/JIT + Arrow python workers + numpy import on every
+    # executor thread — without this the first timed row absorbs the
+    # cold-start and the 4xC train ratio inverts (a first run of this
+    # probe reported 0.63x; the hardware-scaling lesson)
+    warm = train_ivf_centroids(
+        emb_slice, num_centroids=8, max_iter=1, dim=dim,
+        sample_fraction=0.2, assign_impl="arrow")
+    assign_clusters_arrow(emb_slice, warm, "embedding", "c").agg(
+        F.countDistinct("c")).collect()
+    assign_clusters(emb_slice.where(F.col("vec_id") < 2000), warm,
+                    "embedding", "c").agg(F.countDistinct("c")).collect()
     results = {}
+    # best-of-2, C-order interleaved: a single pass reported C=1024
+    # TRAINING faster than C=256 even after warm-up — the arrow walls
+    # are Arrow-transfer/codegen dominated (near-constant in C) and
+    # box variance (the r5 session-variance lesson) swamps the C term;
+    # min-of-interleaved runs is the honest ratio
+    cents = {}
+    for _ in range(2):
+        for C in (256, 1024):
+            t0 = time.monotonic()
+            cents[C] = train_ivf_centroids(
+                emb, num_centroids=C, max_iter=max_iter, dim=dim,
+                sample_fraction=sample_fraction, assign_impl="arrow",
+            )
+            t_train = time.monotonic() - t0
+            sel = emb.select("vec_id", F.col("embedding").alias("cv"))
+            t1 = time.monotonic()
+            # aggregate the computed column (a bare count would let
+            # Catalyst prune the scoring work — the r4 bench gotcha)
+            n_clusters = (
+                assign_clusters_arrow(sel, cents[C], "cv", "cluster")
+                .agg(F.countDistinct("cluster")).collect()[0][0])
+            t_arrow = time.monotonic() - t1
+            r = results.setdefault(C, {
+                "t_train": t_train, "t_arrow": t_arrow,
+                "n_clusters": n_clusters,
+                "collect_mb": C * (dim + 2) * 8 / 1e6,
+            })
+            r["t_train"] = min(r["t_train"], t_train)
+            r["t_arrow"] = min(r["t_arrow"], t_arrow)
+            print(f"C={C}: train(arrow) {t_train:.1f}s "
+                  f"arrow-assign {t_arrow:.1f}s", file=sys.stderr)
     for C in (256, 1024):
-        t0 = time.monotonic()
-        centroids = train_ivf_centroids(
-            emb, num_centroids=C, max_iter=max_iter, dim=dim,
-            sample_fraction=sample_fraction, assign_impl="arrow",
-        )
-        t_train = time.monotonic() - t0
-        sel = emb.select("vec_id", F.col("embedding").alias("cv"))
-        t1 = time.monotonic()
-        # aggregate the computed column (a bare count would let Catalyst
-        # prune the scoring work entirely — the r4 bench gotcha)
-        n_clusters = (assign_clusters_arrow(sel, centroids, "cv", "cluster")
-                      .agg(F.countDistinct("cluster")).collect()[0][0])
-        t_arrow = time.monotonic() - t1
-        # native fold on a slice: per-vector cost of the interpreted path
+        # native fold on a slice: per-vector cost of the interpreted
+        # path — timed ONCE (it is minutes-long, per-vector cost is
+        # stable). Persist the timed result so the agreement check
+        # reuses it instead of re-running the probe's most expensive job
         sel_s = emb_slice.select("vec_id", F.col("embedding").alias("cv"))
+        n = assign_clusters(sel_s, cents[C], "cv", "cn").persist()
         t2 = time.monotonic()
-        assign_clusters(sel_s, centroids, "cv", "cluster").agg(
-            F.countDistinct("cluster")).collect()
+        n.agg(F.countDistinct("cn")).collect()
         t_native_slice = time.monotonic() - t2
         # agreement between the two paths on the slice (the documented
         # seam is sub-ulp cosine ties; on hash-random data expect ~1.0)
-        a = assign_clusters_arrow(sel_s, centroids, "cv", "ca")
-        n = assign_clusters(sel_s, centroids, "cv", "cn")
+        a = assign_clusters_arrow(sel_s, cents[C], "cv", "ca")
         agree = (a.join(n.select("vec_id", "cn"), "vec_id")
                  .agg(F.avg((F.col("ca") == F.col("cn")).cast("double")))
                  .collect()[0][0])
-        collect_mb = C * (dim + 2) * 8 / 1e6
-        results[C] = {
-            "t_train": t_train, "t_arrow": t_arrow,
-            "ms_arrow": t_arrow * 1000 / n_vecs,
+        n.unpersist()
+        results[C].update({
+            "ms_arrow": results[C]["t_arrow"] * 1000 / n_vecs,
             "t_native_slice": t_native_slice,
             "ms_native": t_native_slice * 1000 / n_slice,
-            "agree": agree, "n_clusters": n_clusters,
-            "collect_mb": collect_mb,
-        }
-        print(f"C={C}: train(arrow) {t_train:.1f}s arrow-assign {t_arrow:.1f}s "
-              f"native/vec {results[C]['ms_native']:.2f}ms agree {agree:.4f}",
-              file=sys.stderr)
+            "agree": agree,
+        })
+        print(f"C={C}: native/vec {results[C]['ms_native']:.2f}ms "
+              f"agree {agree:.4f}", file=sys.stderr)
     r256, r1024 = results[256], results[1024]
     train_ratio = r1024["t_train"] / r256["t_train"]
     assign_ratio = r1024["t_arrow"] / r256["t_arrow"]
@@ -538,9 +566,12 @@ beyond is a super-linear step.
 | 256 | {r256['t_train']:.1f} | {r256['t_arrow']:.1f} | {r256['ms_arrow']:.3f} | {r256['ms_native']:.2f} | {r256['agree']:.4f} | {r256['collect_mb']:.1f} MB |
 | 1024 | {r1024['t_train']:.1f} | {r1024['t_arrow']:.1f} | {r1024['ms_arrow']:.3f} | {r1024['ms_native']:.2f} | {r1024['agree']:.4f} | {r1024['collect_mb']:.1f} MB |
 
-wall ratios at 4x C: train **{train_ratio:.2f}x**, assign
-**{assign_ratio:.2f}x** (linear = 4.0x; sub-linear means fixed
-per-batch/per-iteration costs still dominate at this corpus size).
+wall ratios at 4x C (best-of-2, C-order interleaved): train
+**{train_ratio:.2f}x**, assign **{assign_ratio:.2f}x** (linear = 4.0x;
+sub-linear means the walls are dominated by terms constant in C —
+Arrow transfer of the {n_vecs // 1000}k x {dim} corpus and per-plan
+codegen — so raising nlist toward real-index values is nearly free at
+this corpus size).
 
 Engine finding (the reason assign_impl exists): the native HOF fold is
 C x dim INTERPRETER steps per row — measured

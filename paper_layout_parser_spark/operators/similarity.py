@@ -224,24 +224,23 @@ def assign_clusters(df: DataFrame, centroids: list[list[float]],
     return df2.withColumn(out_col, (-best["negc"]).cast("int")).drop("__ctab")
 
 
-def assign_clusters_arrow(df: DataFrame, centroids: list[list[float]],
-                          vec_col: str = "embedding",
-                          out_col: str = "cluster") -> DataFrame:
-    """Arrow-vectorized production twin of assign_clusters for WIDE
-    shapes: one numpy matmul per Arrow batch ((B x dim) @ (dim x C))
-    replaces the interpreted per-element HOF fold, whose cost is C x dim
-    interpreter steps per row — at dim=768 / C=1024 that is ~0.8M steps
-    per row and the matmul path is orders of magnitude faster
-    (measured: BENCH/ANN_CAPACITY.md). Same argmax-cosine contract,
-    ties -> lowest centroid id (np.argmax returns the first maximum).
+def _resolve_assigner(assign_impl: str):
+    """One home for the assign_impl contract: validates the knob and
+    resolves the implementation, so call sites cannot drift (an unknown
+    string must raise here, never silently fall through to one path)."""
+    impls = {"native": assign_clusters, "arrow": assign_clusters_arrow}
+    if assign_impl not in impls:
+        raise ValueError(f"unknown assign_impl {assign_impl!r}; "
+                         f"expected one of {sorted(impls)}")
+    return impls[assign_impl]
 
-    Seam vs the native path: numpy's blocked summation can round the
-    last ulp of a cosine differently than the fold's strict
-    left-to-right order, so two centroids whose scores differ below
-    double rounding could argmax differently — a tie-class divergence,
-    same category as the engine seams on the md5 hash families. The
-    graded/oracle path stays assign_clusters (native); parity is
-    asserted exactly on separated data in pytest."""
+
+def _arrow_assign(df: DataFrame, centroids: list[list[float]],
+                  vec_col: str, out_col: str):
+    """Internal: the matmul assignment plus its broadcast handle, so
+    callers with a bounded consumption window (the training loop) can
+    destroy the broadcast after the result is consumed instead of
+    leaking one dim x C array per Lloyd iteration."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -251,6 +250,7 @@ def assign_clusters_arrow(df: DataFrame, centroids: list[list[float]],
     cn[cn == 0.0] = 1.0
     # pre-normalized dim x C, shipped once per executor via broadcast
     bc = df.sparkSession.sparkContext.broadcast((C / cn[:, None]).T)
+    dim = C.shape[1]
 
     # no pd.Series type hints: the module's `from __future__ import
     # annotations` stringifies them and pyspark's hint parser rejects
@@ -260,13 +260,51 @@ def assign_clusters_arrow(df: DataFrame, centroids: list[list[float]],
     def _assign(v):
         if len(v) == 0:
             return pd.Series([], dtype="int32")
-        m = np.stack(v.to_numpy()).astype(np.float64, copy=False)
+        raw = v.to_numpy()
+        # NULL embeddings: the native twin scores them NULL against
+        # every centroid and array_max tie-breaks to cid 0 — replace
+        # with a zero vector (all scores 0 -> argmax 0), instead of
+        # letting np.stack raise on the ragged object array
+        if any(x is None for x in raw):
+            zero = np.zeros(dim)
+            raw = np.array([zero if x is None else x for x in raw],
+                           dtype=object)
+        m = np.stack(raw).astype(np.float64, copy=False)
         vn = np.linalg.norm(m, axis=1)
         vn[vn == 0.0] = 1.0
         scores = (m / vn[:, None]) @ bc.value
         return pd.Series(np.argmax(scores, axis=1).astype(np.int32))
 
-    return df.withColumn(out_col, _assign(F.col(vec_col)))
+    return df.withColumn(out_col, _assign(F.col(vec_col))), bc
+
+
+def assign_clusters_arrow(df: DataFrame, centroids: list[list[float]],
+                          vec_col: str = "embedding",
+                          out_col: str = "cluster") -> DataFrame:
+    """Arrow-vectorized production twin of assign_clusters for WIDE
+    shapes: one numpy matmul per Arrow batch ((B x dim) @ (dim x C))
+    replaces the interpreted per-element HOF fold, whose cost is C x dim
+    interpreter steps per row — at dim=768 / C=1024 that is ~0.8M steps
+    per row and the matmul path is orders of magnitude faster
+    (measured: BENCH/ANN_CAPACITY.md). Same argmax-cosine contract,
+    ties -> lowest centroid id (np.argmax returns the first maximum);
+    NULL and all-zero embeddings both resolve to cid 0, matching the
+    native twin.
+
+    Seam vs the native path: numpy's blocked summation can round the
+    last ulp of a cosine differently than the fold's strict
+    left-to-right order, so two centroids whose scores differ below
+    double rounding could argmax differently — a tie-class divergence,
+    same category as the engine seams on the md5 hash families. The
+    graded/oracle path stays assign_clusters (native); parity is
+    asserted exactly on separated data in pytest.
+
+    Resource note: each call creates one SparkContext broadcast (the
+    pre-normalized dim x C matrix, ~C*dim*8 bytes) that lives until the
+    session ends — fine for a handful of calls; the training loop uses
+    the internal handle-returning variant and destroys per-iteration
+    broadcasts after the means collect."""
+    return _arrow_assign(df, centroids, vec_col, out_col)[0]
 
 
 def train_ivf_centroids(embeddings: DataFrame, num_centroids: int = 16,
@@ -306,10 +344,7 @@ def train_ivf_centroids(embeddings: DataFrame, num_centroids: int = 16,
     (BENCH/ANN_CAPACITY.md). Bit-reproducibility of training then rests
     on the arrow path's tie seam (see its docstring); the oracle-replayed
     md5 family keeps ``'native'``."""
-    if assign_impl not in ("native", "arrow"):
-        raise ValueError(f"unknown assign_impl {assign_impl!r}")
-    assigner = (assign_clusters if assign_impl == "native"
-                else assign_clusters_arrow)
+    _resolve_assigner(assign_impl)   # validate the knob before any scan
     train = embeddings
     if sample_fraction < 1.0:
         from .curation import hex_bound, salted_h8
@@ -339,7 +374,15 @@ def train_ivf_centroids(embeddings: DataFrame, num_centroids: int = 16,
         )
     S = IVF_MEAN_SCALE
     for _ in range(max_iter):
-        assigned = assigner(train, centroids, vec_col, "__c")
+        bc = None
+        if assign_impl == "arrow":
+            # handle-returning variant: the means collect below is the
+            # last consumer of this iteration's assignment, so the
+            # centroid broadcast is destroyed right after instead of
+            # accumulating one dim x C array per Lloyd iteration
+            assigned, bc = _arrow_assign(train, centroids, vec_col, "__c")
+        else:
+            assigned = assign_clusters(train, centroids, vec_col, "__c")
         means = assigned.groupBy("__c").agg(
             F.count(F.lit(1)).alias("n"),
             *[F.sum(
@@ -347,6 +390,8 @@ def train_ivf_centroids(embeddings: DataFrame, num_centroids: int = 16,
                 .cast("long")
             ).alias(f"s{i}") for i in range(dim)]
         ).collect()
+        if bc is not None:
+            bc.destroy()
         new = list(centroids)
         for r in means:
             n = float(r["n"])
@@ -411,9 +456,7 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         sample_fraction=sample_fraction, init_hash=init_hash,
         assign_impl=assign_impl,
     )
-    corpus_assigner = (assign_clusters if assign_impl == "native"
-                       else assign_clusters_arrow)
-    assigned = corpus_assigner(
+    assigned = _resolve_assigner(assign_impl)(
         embeddings.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
         ),

@@ -139,20 +139,35 @@ def build_training_corpus(
     to ``checkpoint_table`` and the curation phase reads the committed
     table back — the audit/kept/line-dedup branches, which each consume
     ``extracted`` several times, then scan parquet instead of re-running
-    the rasterize+detect UDF chain, and a killed curation phase resumes
-    from the committed snapshot without re-extracting anything."""
+    the rasterize+detect UDF chain. The commit goes through
+    ``run_resumable``'s pending gate, so the call is IDEMPOTENT per url:
+    a re-run (killed curation phase, or the same build invoked twice on
+    the same warehouse) extracts only not-yet-committed urls and never
+    double-appends — an ungated append would silently duplicate every
+    row, and duplicated rows would then double the corpus-wide line
+    counts and make line dedup empty every document's text."""
     from .pipeline import run_pipeline
 
-    out = run_pipeline(pages, **(pipeline_kwargs or {}))
-    extracted = out.doc_text
     if catalog is not None:
-        extracted = catalog.checkpoint_stage(
-            extracted, checkpoint_table, page_col=None
-        )
+        from ..sources.catalog import run_resumable
+
+        outs = []
+
+        def _extract(todo):
+            out = run_pipeline(todo, **(pipeline_kwargs or {}))
+            outs.append(out)
+            return out.doc_text
+
+        extracted = run_resumable(catalog, pages, checkpoint_table,
+                                  _extract, key="url")
         # the committed table replaces every downstream read of the
         # extraction lineage — release the enriched cache immediately
         # instead of pinning executor memory through the curation phase
-        out.enriched.unpersist()
+        for out in outs:
+            out.enriched.unpersist()
+    else:
+        out = run_pipeline(pages, **(pipeline_kwargs or {}))
+        extracted = out.doc_text
     audit, curated, funnel = curate_documents(
         extracted, benchmark=benchmark, id_col="url", text_col="doc_text",
         lang=lang, min_quality=min_quality,

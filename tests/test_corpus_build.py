@@ -153,3 +153,34 @@ def test_checkpointed_build_matches_and_never_reextracts(spark, tmp_path):
     n_docs = plain.extracted.count()
     agg = lineage.agg(F.sum("rows_out").alias("rows")).collect()[0]
     assert agg["rows"] == n_docs
+
+
+def test_checkpointed_build_is_idempotent(spark, tmp_path):
+    """Re-running the SAME build against the SAME warehouse (the
+    resume-after-kill scenario) must not double-append the checkpoint
+    table: the pending gate extracts nothing the second time, per-url
+    counts stay 1, and curated output is unchanged — an ungated append
+    would duplicate every row and line dedup would then empty every
+    document's clean_text."""
+    from paper_layout_parser_spark.sources.catalog import Catalog
+
+    pages = build_pages(spark, SF_SMALL).where(
+        F.regexp_extract("url", r"([0-9]+)$", 1).cast("long") < 10
+    )
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    kw = dict(lang="und", min_quality=0.0, host_cap=4,
+              shuffle_salt="epoch-0", catalog=cat)
+    first = build_training_corpus(pages, **kw)
+    want = [(r["url"], r["clean_text"], r["split"])
+            for r in first.curated.collect()]
+    n_lineage = cat.read("corpus_extracted__lineage").count()
+
+    second = build_training_corpus(pages, **kw)
+    per_url_max = (cat.read("corpus_extracted").groupBy("url").count()
+                   .agg(F.max("count")).collect()[0][0])
+    assert per_url_max == 1
+    got = [(r["url"], r["clean_text"], r["split"])
+           for r in second.curated.collect()]
+    assert got == want and got
+    # nothing was pending, so no new lineage run was recorded
+    assert cat.read("corpus_extracted__lineage").count() == n_lineage

@@ -11,6 +11,7 @@ gate, boundary urls would commit twice."""
 
 import time
 
+import pytest
 from pyspark.sql import functions as F
 
 from paper_layout_parser_spark.sources.catalog import Catalog
@@ -75,13 +76,19 @@ def test_exactly_once_under_processing_time_trigger(spark, tmp_path):
     # (not one catch-up batch), each with its own lineage run
     assert (cat.read("rate_docs__lineage")
             .select("run_id").distinct().count()) >= 2
-    # key tables stayed consistent: committed == stage-table urls, and
-    # everything committed was marked inflight first
+    # key-table consistency, allowing for q.stop() interrupting the
+    # in-flight batch anywhere: committed is only appended AFTER the
+    # stage writes, so committed <= stage urls always; a url written to
+    # the stage table but not committed is exactly the designed crash
+    # window and must carry its inflight mark (the next run's
+    # pending_inputs safety net keys off it)
     committed = {r["url"] for r in
                  cat.read("rate_committed").distinct().collect()}
-    assert committed == {r["url"] for r in docs.select("url").collect()}
+    doc_urls = {r["url"] for r in docs.select("url").collect()}
     inflight = {r["url"] for r in
                 cat.read("rate_committed__inflight").distinct().collect()}
+    assert committed <= doc_urls
+    assert doc_urls - committed <= inflight
     assert committed <= inflight
 
 
@@ -143,3 +150,35 @@ def test_ivf_topk_arrow_matches_native(spark):
              for r in ivf_topk(emb, queries, assign_impl="arrow",
                                **kw).collect()}
     assert got_a == got_n and got_n
+
+
+def test_assign_clusters_arrow_null_embedding(spark):
+    """A NULL embedding row must not crash the Arrow path (np.stack on
+    a ragged object array): both paths resolve NULL — like the all-zero
+    vector — to centroid 0."""
+    from paper_layout_parser_spark.operators.similarity import (
+        assign_clusters,
+        assign_clusters_arrow,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    got_a = {r["vec_id"]: r["cluster"]
+             for r in assign_clusters_arrow(df, cents).collect()}
+    got_n = {r["vec_id"]: r["cluster"]
+             for r in assign_clusters(df, cents).collect()}
+    assert got_a == got_n == {0: 0, 1: 0, 2: 1}
+
+
+def test_unknown_assign_impl_raises(spark):
+    from paper_layout_parser_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    df = spark.createDataFrame([(0, [1.0, 0.0])],
+                               "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="assign_impl"):
+        train_ivf_centroids(df, num_centroids=1, dim=2,
+                            assign_impl="numpy")
