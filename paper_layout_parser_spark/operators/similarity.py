@@ -70,6 +70,89 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def brute_force_topk_arrow(embeddings: DataFrame, queries: DataFrame,
+                           k: int = 10, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Arrow-vectorized production twin of brute_force_topk for WIDE
+    embeddings: the native path scores each (query, candidate) pair with
+    the interpreted HOF fold (Q x dim interpreter steps per candidate
+    row — the same bottleneck BENCH/ANN_CAPACITY.md measured at ~300x on
+    IVF assignment), this one does one (B x dim) @ (dim x Q) matmul per
+    Arrow batch and prunes to the batch-local top-(k+1) per query before
+    anything shuffles — the exchange carries ~partitions x (k+1) rows
+    per query instead of N. Same output contract (rank by cos DESC,
+    neighbor_id ASC, self excluded, cos rounded half-up to 6); batch-
+    local pruning is exact because it uses the same (cos DESC, id ASC)
+    order as the global window. NULL embeddings score 0 like the
+    assignment path. Queries are collected driver-side — the same
+    "small relative to embeddings" contract the native path's broadcast
+    already imposes, made explicit. Seam vs native: numpy summation
+    order can differ in the last ulp, which the 6-decimal rounding
+    absorbs except on exact half-up boundaries (parity pytested)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    qrows = queries.select(id_col, vec_col).collect()
+    out_schema = StructType([
+        StructField("query_id", queries.schema[id_col].dataType),
+        StructField("neighbor_id", embeddings.schema[id_col].dataType),
+        StructField("cos", DoubleType()),
+    ])
+    spark = embeddings.sparkSession
+    if not qrows:
+        scored = spark.createDataFrame([], out_schema)
+    else:
+        qids = [r[0] for r in qrows]
+        Q = np.array([[float(v) for v in r[1]] for r in qrows],
+                     dtype=np.float64)
+        qn = np.linalg.norm(Q, axis=1)
+        qn[qn == 0.0] = 1.0
+        bc = spark.sparkContext.broadcast((qids, (Q / qn[:, None]).T))
+        dim = Q.shape[1]
+        kk = k + 1   # +1 so self-exclusion cannot eat a real neighbor
+
+        def score(batches):
+            q_ids, Qt = bc.value
+            zero = np.zeros(dim)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids = pdf[id_col].to_numpy()
+                raw = pdf[vec_col].to_numpy()
+                if any(x is None for x in raw):
+                    raw = np.array([zero if x is None else x for x in raw],
+                                   dtype=object)
+                m = np.stack(raw).astype(np.float64, copy=False)
+                vn = np.linalg.norm(m, axis=1)
+                vn[vn == 0.0] = 1.0
+                scores = (m / vn[:, None]) @ Qt          # B x Q
+                take = min(kk, len(ids))
+                out_q, out_n, out_c = [], [], []
+                for j, qid in enumerate(q_ids):
+                    # batch-local top-(k+1) in the GLOBAL order
+                    # (cos DESC, id ASC) — lexsort keys: last is primary
+                    top = np.lexsort((ids, -scores[:, j]))[:take]
+                    out_q.extend([qid] * len(top))
+                    out_n.extend(ids[top])
+                    out_c.extend(scores[top, j])
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n,
+                     "cos": out_c})
+
+        scored = embeddings.select(id_col, vec_col).mapInPandas(
+            score, out_schema)
+    scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                round_half_up(F.col("cos"), 6).alias("cos"))
+    )
+
+
 def srp_signatures(embeddings: DataFrame, num_planes: int = 16,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    dim: int = 64, seed: int = 7) -> DataFrame:

@@ -182,3 +182,27 @@ def test_unknown_assign_impl_raises(spark):
     with pytest.raises(ValueError, match="assign_impl"):
         train_ivf_centroids(df, num_centroids=1, dim=2,
                             assign_impl="numpy")
+
+
+def test_brute_force_topk_arrow_parity(spark):
+    """The matmul exact-top-k twin must return the same (query, rank,
+    neighbor, cos) rows as the native fold on the driver's embeddings
+    table — including the batch-local pruning and self-exclusion."""
+    from paper_layout_parser_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_arrow,
+    )
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .repartition(7))   # several batches so local pruning engages
+    queries = emb.where("vec_id < 6")
+    want = {(r["query_id"], r["rank"], r["neighbor_id"], r["cos"])
+            for r in brute_force_topk(emb, queries, k=5).collect()}
+    got = {(r["query_id"], r["rank"], r["neighbor_id"], r["cos"])
+           for r in brute_force_topk_arrow(emb, queries, k=5).collect()}
+    assert got == want and got
+
+    # empty query side: empty result, stable schema
+    empty = brute_force_topk_arrow(emb, queries.where("vec_id < 0"), k=5)
+    assert empty.count() == 0
+    assert empty.columns == ["query_id", "neighbor_id", "rank", "cos"]
