@@ -447,6 +447,89 @@ def dedup_lines(docs: DataFrame, max_occurrences: int = 1,
     )
 
 
+def remove_duplicate_spans(docs: DataFrame, n: int = 8,
+                           min_count: int = 2,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           out_col: str = "deduped_text") -> DataFrame:
+    """CORPUS-level duplicate-SPAN removal — the Spark-relational analog
+    of exact-substring deduplication (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better": cut any span that
+    occurs verbatim elsewhere in the corpus). Word-level approximation:
+    every token covered by an ``n``-word window whose window occurs
+    ``min_count``-or-more times ACROSS THE CORPUS (including repeats
+    inside one document) is removed, and each document's text is
+    reassembled from its surviving tokens in original order, single-
+    space joined (whitespace runs are normalized — the operator is
+    about token content, not layout; run it before, not after,
+    layout-sensitive steps). Complements dedup_lines (verbatim LINES)
+    and MinHash (whole near-dup DOCUMENTS): this catches boilerplate
+    paragraphs pasted mid-text that neither of those sees.
+
+    Returns the input columns plus ``out_col`` and
+    ``n_tokens_removed``; one row per input document (a fully-
+    duplicated document keeps its row with empty text). Documents
+    shorter than ``n`` words contribute no windows and come back
+    untouched. NULL text is treated as the empty string (the
+    one-row-per-input contract of dedup_lines).
+
+    Scale shape: windows explode to (len - n + 1) rows per document —
+    linear in corpus tokens; the corpus-wide count groups on
+    xxhash64(window) (16-byte keys, partial aggregation combines the
+    viral boilerplate window map-side); the flag join is a LEFT SEMI
+    against one row per duplicated key; coverage explodes n positions
+    per duplicated window (bounded by n x hits) onto narrow (id, pos)
+    ints; reassembly is the dedup_lines array_sort fold, bounded by one
+    document's tokens. Collision note: two DIFFERENT windows colliding
+    in xxhash64 (2^-64 per pair) would remove a non-duplicated span —
+    the cost of never shuffling window text; swap the key for
+    sha2/md5 where that matters."""
+    w = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    # split('') == [''] — zero empty docs explicitly (the r3 lesson)
+    w = F.when(F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) == 0,
+               F.array().cast("array<string>")).otherwise(w)
+    d = docs.select(F.col(id_col).alias("__id"), w.alias("__w"))
+    toks = d.select(
+        "__id", F.posexplode_outer("__w").alias("__q", "__word")
+    )
+    starts = F.when(
+        F.size("__w") >= n, F.sequence(F.lit(0), F.size("__w") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = d.select(
+        "__id", "__w", F.explode(starts).alias("__p")
+    ).select(
+        "__id", "__p",
+        F.xxhash64(F.concat_ws(" ", F.slice("__w", F.col("__p") + 1, n)))
+        .alias("__k"),
+    )
+    dup = (grams.groupBy("__k").agg(F.count("*").alias("__c"))
+           .where(F.col("__c") >= min_count).select("__k"))
+    cov = (grams.join(dup, "__k", "left_semi")
+           .select("__id", F.explode(
+               F.sequence(F.col("__p"), F.col("__p") + (n - 1))
+           ).alias("__q"))
+           .distinct())
+    kept = (toks.join(cov, ["__id", "__q"], "left_anti")
+            .where(F.col("__word").isNotNull()))
+    clean = kept.groupBy("__id").agg(
+        F.array_sort(F.collect_list(F.struct("__q", "__word"))).alias("ts")
+    ).select(
+        "__id",
+        F.array_join(F.transform("ts", lambda s: s["__word"]), " ")
+        .alias("__clean"),
+        F.size("ts").alias("__n_kept"),
+    )
+    return (
+        docs.join(clean, F.col(id_col) == F.col("__id"), "left")
+        .withColumn(out_col, F.coalesce(F.col("__clean"), F.lit("")))
+        .withColumn(
+            "n_tokens_removed",
+            F.size(w) - F.coalesce(F.col("__n_kept"), F.lit(0)),
+        )
+        .drop("__id", "__clean", "__n_kept")
+    )
+
+
 def _simhash_bit_sums(docs: DataFrame, id_col: str, text_col: str,
                       hash_family: str) -> DataFrame:
     """Per-document +/-1 vote sums for each of the 64 SimHash bits.

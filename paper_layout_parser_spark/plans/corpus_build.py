@@ -55,6 +55,7 @@ def curate_documents(
     lang: str = "en",
     min_quality: float = 0.5,
     max_line_occurrences: int = 1,
+    span_ngrams: int | None = None,
     split_weights: dict[str, float] | None = None,
     split_salt: str = "plp",
     host_cap: int | None = None,
@@ -63,8 +64,17 @@ def curate_documents(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Curation phase over any (id, text) table: funnel audit ->
     surviving docs -> optional per-host cap -> corpus-level line dedup ->
-    split assignment -> optional deterministic shuffle.
-    Returns (audit, curated, funnel).
+    optional duplicate-span removal -> split assignment -> optional
+    deterministic shuffle. Returns (audit, curated, funnel).
+
+    ``span_ngrams=N`` additionally removes every corpus-wide duplicated
+    N-word span from the line-deduped text (dedup.remove_duplicate_spans
+    — the exact-substring-dedup analog; catches boilerplate paragraphs
+    pasted mid-document that line dedup and whole-doc MinHash both
+    miss). Applied AFTER line dedup — lines are the cheaper coarse pass
+    — and before splits; ``curated`` then also carries
+    ``n_tokens_removed``. Note the operator's whitespace normalization
+    (tokens rejoin single-spaced).
 
     ``host_cap=N`` keeps at most N surviving documents per host
     (curation.cap_per_host — the RefinedWeb per-domain guard), applied
@@ -104,6 +114,16 @@ def curate_documents(
         kept, max_occurrences=max_line_occurrences,
         id_col=id_col, text_col=text_col,
     )
+    if span_ngrams:
+        from ..operators.dedup import remove_duplicate_spans
+
+        deduped = (
+            remove_duplicate_spans(deduped, n=span_ngrams, id_col=id_col,
+                                   text_col="clean_text",
+                                   out_col="__span_clean")
+            .withColumn("clean_text", F.col("__span_clean"))
+            .drop("__span_clean")
+        )
     curated = assign_split(
         deduped, weights=split_weights or DEFAULT_SPLIT_WEIGHTS,
         salt=split_salt, id_col=id_col,
@@ -120,6 +140,7 @@ def build_training_corpus(
     lang: str = "en",
     min_quality: float = 0.5,
     max_line_occurrences: int = 1,
+    span_ngrams: int | None = None,
     split_weights: dict[str, float] | None = None,
     split_salt: str = "plp",
     host_cap: int | None = None,
@@ -172,6 +193,7 @@ def build_training_corpus(
         extracted, benchmark=benchmark, id_col="url", text_col="doc_text",
         lang=lang, min_quality=min_quality,
         max_line_occurrences=max_line_occurrences,
+        span_ngrams=span_ngrams,
         split_weights=split_weights, split_salt=split_salt,
         host_cap=host_cap, host_col=host_col, shuffle_salt=shuffle_salt,
     )

@@ -1,0 +1,161 @@
+"""remove_duplicate_spans (corpus-wide duplicate n-gram span removal —
+the Lee-et-al exact-substring-dedup analog): cross-engine DuckDB twin
+lives HERE because the driver registry is frozen at its 50-entry
+oracle-first contract — same oracle rigor, executed in pytest (the
+host_cap/deterministic_shuffle pattern)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from paper_layout_parser_spark.operators.dedup import remove_duplicate_spans
+
+SF = "/root/testdata/sf0.01"
+N = 5
+
+# a boilerplate sentence planted into every third document — the
+# cross-document duplicated span the operator exists to remove
+PLANT = "please subscribe to our newsletter today for free updates"
+SPARK_TEXT = (
+    "CASE WHEN doc_id % 3 = 0 THEN concat(text, ' ', '" + PLANT + "') "
+    "ELSE text END"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", F.expr(SPARK_TEXT).alias("text")))
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents_raw AS "
+            f"SELECT * FROM '{SF}/documents.parquet'")
+    con.sql("CREATE VIEW documents AS SELECT doc_id, "
+            f"CASE WHEN doc_id % 3 = 0 THEN concat(text, ' ', '{PLANT}') "
+            "ELSE text END AS text FROM documents_raw")
+    return con
+
+
+def _oracle_sql(n: int, min_count: int) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(range(1, greatest(len(w) - {n} + 2, 1))) AS p, w
+  FROM d
+),
+gr AS (
+  SELECT doc_id, p, array_to_string(list_slice(w, p, p + {n} - 1), ' ') AS gram
+  FROM g
+),
+dup AS (SELECT gram FROM gr GROUP BY gram HAVING count(*) >= {min_count}),
+cov AS (
+  SELECT DISTINCT doc_id, unnest(range(p, p + {n})) AS q
+  FROM gr WHERE gram IN (SELECT gram FROM dup)
+),
+tok AS (
+  SELECT doc_id, unnest(range(1, len(w) + 1)) AS q, w FROM d
+),
+kept AS (
+  SELECT t.doc_id, t.q, t.w[t.q] AS word
+  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.q = c.q
+  WHERE c.q IS NULL
+),
+clean AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY q) AS deduped,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(c.deduped, '') AS deduped_text,
+       len(d.w) - coalesce(c.n_kept, 0) AS n_tokens_removed
+FROM d LEFT JOIN clean c USING (doc_id)"""
+
+
+class TestRemoveDuplicateSpans:
+    @pytest.mark.parametrize("min_count", [2, 3])
+    def test_matches_duckdb(self, docs, duck, min_count):
+        got = {r["doc_id"]: (r["deduped_text"], r["n_tokens_removed"])
+               for r in remove_duplicate_spans(
+                   docs, n=N, min_count=min_count).collect()}
+        want = {r[0]: (r[1], r[2])
+                for r in duck.sql(_oracle_sql(N, min_count)).fetchall()}
+        assert got == want
+        # non-vacuous: the planted boilerplate was actually removed
+        removed = sum(1 for _, (_, nr) in got.items() if nr > 0)
+        assert removed >= len(got) // 3
+
+    def test_planted_span_removed_everywhere(self, docs):
+        out = remove_duplicate_spans(docs, n=N)
+        survivors = out.where(
+            F.col("deduped_text").contains(PLANT)).count()
+        assert survivors == 0
+        # documents without the plant keep their text only if none of
+        # their own windows repeat corpus-wide; every row is present
+        assert out.count() == docs.count()
+
+    def test_short_null_and_within_doc_repeats(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"),               # < n words: untouched
+             (2, None),                             # NULL -> empty, row kept
+             (3, "x y z w v x y z w v tail"),       # within-doc repeat
+             (4, "unique words only here today now")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: (r["deduped_text"], r["n_tokens_removed"])
+               for r in remove_duplicate_spans(df, n=5).collect()}
+        assert out[1] == ("alpha beta gamma", 0)
+        assert out[2] == ("", 0)
+        # 'x y z w v' occurs twice within doc 3 -> both spans removed
+        assert out[3] == ("tail", 10)
+        assert out[4] == ("unique words only here today now", 0)
+
+    def test_partitioning_invariance(self, docs):
+        a = {r["doc_id"]: r["deduped_text"]
+             for r in remove_duplicate_spans(docs, n=N).collect()}
+        b = {r["doc_id"]: r["deduped_text"]
+             for r in remove_duplicate_spans(
+                 docs.repartition(13), n=N).collect()}
+        assert a == b
+
+
+def test_curate_documents_span_ngrams(spark):
+    """span_ngrams= composes into the curation funnel after line dedup:
+    a boilerplate sentence pasted MID-LINE into several documents (so
+    line dedup cannot see it) is removed corpus-wide, and the output
+    contract (one row per surviving doc, split column) holds."""
+    from paper_layout_parser_spark.plans.corpus_build import (
+        curate_documents,
+    )
+
+    # marker-free tokens: any English stopword would flip predicted_lang
+    # to 'en' and the funnel's lang rule (lang='und') would drop the doc
+    plant = "zeta omega sigma delta kappa lambda upsilon theta"
+    rows = [(f"https://s{i}.example/d/{i}",
+             f"document{i} corpus{i} body{i} begins {plant} ends "
+             f"uniquely token{i} tail{i}")
+            for i in range(6)]
+    rows += [(f"https://s{i}.example/d/{i}",
+              f"standalone document{i} holding entirely unique content "
+              f"topic{i} solo{i}")
+             for i in range(6, 10)]
+    docs = spark.createDataFrame(rows, "url string, doc_text string")
+    _, curated, _ = curate_documents(
+        docs, lang="und", min_quality=0.0, span_ngrams=5)
+    got = curated.collect()
+    assert len(got) == 10
+    assert all("split" in r.asDict() for r in got)
+    assert all(plant not in r["clean_text"] for r in got)
+    # untouched docs keep their text verbatim (single-line, no dup spans)
+    solo = {r["url"]: r for r in got if "standalone" in r["clean_text"]}
+    assert len(solo) == 4 and all(
+        r["n_tokens_removed"] == 0 for r in solo.values())
