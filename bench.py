@@ -1247,10 +1247,14 @@ def dedup_capacity_mode() -> None:
         return (synth_docs(spark, n, near_dup_every=100, viral_copies=400)
                 .repartition(CPUS * 2).persist())
 
+    from pyspark.sql import functions as F
+
     warm = corpus(base // 4)
     warm.count()
     dd.exact_dedup(warm).count()
     dd.minhash_lsh_pairs(warm, threshold=0.5).count()
+    dd.remove_duplicate_spans(warm, n=8).agg(
+        F.sum("n_tokens_removed")).collect()
     warm.unpersist()
 
     results = {}
@@ -1264,13 +1268,22 @@ def dedup_capacity_mode() -> None:
         t = time.monotonic()
         n_pairs = dd.minhash_lsh_pairs(docs, threshold=0.5).count()
         t_lsh = time.monotonic() - t
+        t = time.monotonic()
+        # aggregate the computed column (a bare count would let Catalyst
+        # drop the span work); removed > 0 because the twin/viral docs
+        # duplicate every window corpus-wide
+        removed = (dd.remove_duplicate_spans(docs, n=8)
+                   .agg(F.sum("n_tokens_removed")).collect()[0][0])
+        t_span = time.monotonic() - t
         docs.unpersist()
         results[scale] = {"n": n_rows, "t_exact": t_exact, "t_lsh": t_lsh,
-                          "pairs": n_pairs}
+                          "pairs": n_pairs, "t_span": t_span,
+                          "removed": removed}
     spark.stop()
     r1, r10 = results[1], results[10]
     ratio_exact = (r10["t_exact"] / r10["n"]) / (r1["t_exact"] / r1["n"])
     ratio_lsh = (r10["t_lsh"] / r10["n"]) / (r1["t_lsh"] / r1["n"])
+    ratio_span = (r10["t_span"] / r10["n"]) / (r1["t_span"] / r1["n"])
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/DEDUP_CAPACITY.md", "w") as f:
         f.write(f"""# BENCH — dedup capacity probe (local[{CPUS}])
@@ -1287,13 +1300,19 @@ Per-doc cost must stay flat: the LSH shuffle is O(docs x bands) by
 construction and the in-bucket join is capped, so no quadratic term may
 appear between the scales even with pairs growing linearly.
 
-| docs | exact dedup (s) | minhash+LSH (s) | LSH pairs found |
-|---|---|---|---|
-| {r1['n']:,} | {r1['t_exact']:.2f} | {r1['t_lsh']:.2f} | {r1['pairs']} |
-| {r10['n']:,} | {r10['t_exact']:.2f} | {r10['t_lsh']:.2f} | {r10['pairs']} |
+| docs | exact dedup (s) | minhash+LSH (s) | LSH pairs found | span dedup n=8 (s) | tokens removed |
+|---|---|---|---|---|---|
+| {r1['n']:,} | {r1['t_exact']:.2f} | {r1['t_lsh']:.2f} | {r1['pairs']} | {r1['t_span']:.2f} | {r1['removed']:,} |
+| {r10['n']:,} | {r10['t_exact']:.2f} | {r10['t_lsh']:.2f} | {r10['pairs']} | {r10['t_span']:.2f} | {r10['removed']:,} |
 
-**per-doc cost ratio (10x/1x): exact {ratio_exact:.3f}, LSH {ratio_lsh:.3f}**
-(flat: ~1.0; <1 = fixed overheads amortizing)
+**per-doc cost ratio (10x/1x): exact {ratio_exact:.3f}, LSH {ratio_lsh:.3f},
+span-dedup {ratio_span:.3f}** (flat: ~1.0; <1 = fixed overheads
+amortizing). Span dedup (remove_duplicate_spans) explodes one window per
+token — its shuffle is O(corpus tokens) on 16-byte hashed keys with
+map-side combine on the viral windows, so per-doc cost must stay flat
+like the others; tokens-removed grows super-linearly here only because
+the PLANTED duplicate fraction makes more windows cross min_count as the
+corpus grows (corpus property, not operator cost).
 
 Reading the pairs column: the 400-copy viral cluster contributes a
 CONSTANT ~C(256,2) = 32,640 pairs at both scales — the hot-bucket cap
@@ -1308,6 +1327,8 @@ one hot bucket, and linear growth everywhere else.
         "exact_per_doc_ratio": round(ratio_exact, 3),
         "lsh_per_doc_ratio": round(ratio_lsh, 3),
         "lsh_wall_big_s": round(r10["t_lsh"], 2),
+        "span_per_doc_ratio": round(ratio_span, 3),
+        "span_wall_big_s": round(r10["t_span"], 2),
     }))
 
 
