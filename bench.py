@@ -1310,9 +1310,11 @@ span-dedup {ratio_span:.3f}** (flat: ~1.0; <1 = fixed overheads
 amortizing). Span dedup (remove_duplicate_spans) explodes one window per
 token — its shuffle is O(corpus tokens) on 16-byte hashed keys with
 map-side combine on the viral windows, so per-doc cost must stay flat
-like the others; tokens-removed grows super-linearly here only because
-the PLANTED duplicate fraction makes more windows cross min_count as the
-corpus grows (corpus property, not operator cost).
+like the others. Tokens-removed grew
+{r10['removed'] / max(r1['removed'], 1):.1f}x at 9.7x volume — a corpus
+property, not operator cost: the planted twins are a fixed 1% fraction
+(linear removals) while the 400-copy viral cluster's removal is
+constant, so sub-linear growth is the expected shape.
 
 Reading the pairs column: the 400-copy viral cluster contributes a
 CONSTANT ~C(256,2) = 32,640 pairs at both scales — the hot-bucket cap

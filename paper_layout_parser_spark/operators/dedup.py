@@ -484,10 +484,16 @@ def remove_duplicate_spans(docs: DataFrame, n: int = 8,
     in xxhash64 (2^-64 per pair) would remove a non-duplicated span —
     the cost of never shuffling window text; swap the key for
     sha2/md5 where that matters."""
-    w = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
-    # split('') == [''] — zero empty docs explicitly (the r3 lesson)
-    w = F.when(F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) == 0,
-               F.array().cast("array<string>")).otherwise(w)
+    # filter-empties instead of trim: F.trim strips only ASCII spaces,
+    # so leading/trailing \n or \t would leave phantom '' tokens at the
+    # array ends (split keeps boundary empties) — an (n-1)-word repeat
+    # would then trigger an n-window match and reassembly would gain
+    # stray tokens. The filter also zeroes empty docs (split('') == [''],
+    # the r3 lesson) with no special case.
+    w = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != "",
+    )
     d = docs.select(F.col(id_col).alias("__id"), w.alias("__w"))
     toks = d.select(
         "__id", F.posexplode_outer("__w").alias("__q", "__word")
@@ -509,8 +515,19 @@ def remove_duplicate_spans(docs: DataFrame, n: int = 8,
                F.sequence(F.col("__p"), F.col("__p") + (n - 1))
            ).alias("__q"))
            .distinct())
-    kept = (toks.join(cov, ["__id", "__q"], "left_anti")
-            .where(F.col("__word").isNotNull()))
+    # null-safe id joins throughout: a plain equi-join never matches
+    # NULL == NULL, which would silently EMPTY every NULL-id row's text
+    # in the final join (dedup_lines groups instead of joining and has
+    # no such hazard — the operators must agree that NULL ids form one
+    # ordinary group)
+    covr = cov.withColumnRenamed("__id", "__cid").withColumnRenamed(
+        "__q", "__cq")
+    kept = (toks.join(
+        covr,
+        F.col("__id").eqNullSafe(F.col("__cid"))
+        & (F.col("__q") == F.col("__cq")),
+        "left_anti",
+    ).where(F.col("__word").isNotNull()))
     clean = kept.groupBy("__id").agg(
         F.array_sort(F.collect_list(F.struct("__q", "__word"))).alias("ts")
     ).select(
@@ -519,14 +536,22 @@ def remove_duplicate_spans(docs: DataFrame, n: int = 8,
         .alias("__clean"),
         F.size("ts").alias("__n_kept"),
     )
+    # token totals ride a narrow (id, count) side table so the output
+    # projection does not re-run the regex split over every text body
+    totals = d.select(F.col("__id").alias("__mid"),
+                      F.size("__w").alias("__nw"))
+    meta = (totals
+            .join(clean, F.col("__mid").eqNullSafe(F.col("__id")), "left")
+            .drop("__id"))
     return (
-        docs.join(clean, F.col(id_col) == F.col("__id"), "left")
+        docs.join(meta, F.col(id_col).eqNullSafe(F.col("__mid")), "left")
         .withColumn(out_col, F.coalesce(F.col("__clean"), F.lit("")))
         .withColumn(
             "n_tokens_removed",
-            F.size(w) - F.coalesce(F.col("__n_kept"), F.lit(0)),
+            F.coalesce(F.col("__nw"), F.lit(0))
+            - F.coalesce(F.col("__n_kept"), F.lit(0)),
         )
-        .drop("__id", "__clean", "__n_kept")
+        .drop("__mid", "__clean", "__n_kept", "__nw")
     )
 
 

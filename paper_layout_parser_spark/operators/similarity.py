@@ -83,17 +83,37 @@ def brute_force_topk_arrow(embeddings: DataFrame, queries: DataFrame,
     per query instead of N. Same output contract (rank by cos DESC,
     neighbor_id ASC, self excluded, cos rounded half-up to 6); batch-
     local pruning is exact because it uses the same (cos DESC, id ASC)
-    order as the global window. NULL embeddings score 0 like the
-    assignment path. Queries are collected driver-side — the same
-    "small relative to embeddings" contract the native path's broadcast
-    already imposes, made explicit. Seam vs native: numpy summation
-    order can differ in the last ulp, which the 6-decimal rounding
-    absorbs except on exact half-up boundaries (parity pytested)."""
+    order as the global window. NULL CANDIDATE embeddings score 0 like
+    the assignment path; candidates whose cosine comes out non-finite
+    (a NaN element riding through Arrow) are scored -inf so they rank
+    LAST globally, mirroring the native path's NULL-cos NULLS-LAST
+    ordering (they can still surface, as cos -inf vs native's NULL,
+    when a query has fewer than k finite candidates). NULL QUERY
+    embeddings raise ValueError up front — the native path returns
+    all-NULL-cos rows for them, which this path cannot reproduce
+    (filter them, or use brute_force_topk). Queries are collected
+    driver-side — the same "small relative to embeddings" contract the
+    native path's broadcast already imposes, made explicit.
+    Seam vs native: ranking runs on the UNROUNDED cosine in both twins,
+    so a last-ulp difference between numpy and JVM fold summation can
+    permute rank order between candidates whose scores tie to the bit
+    under one engine — the 6-decimal rounding applies to the REPORTED
+    cos only, not the ordering (parity pytested on real data; exact
+    rank parity is not guaranteed on sub-ulp score ties)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     qrows = queries.select(id_col, vec_col).collect()
+    null_q = [r[0] for r in qrows if r[1] is None]
+    if null_q:
+        raise ValueError(
+            f"brute_force_topk_arrow: {len(null_q)} query row(s) have a "
+            f"NULL {vec_col!r} (e.g. {id_col}={null_q[0]!r}) — the native "
+            "path would return all-NULL-cos rows for them, which the "
+            "matmul path cannot reproduce; filter NULL-embedding queries "
+            "or use brute_force_topk"
+        )
     out_schema = StructType([
         StructField("query_id", queries.schema[id_col].dataType),
         StructField("neighbor_id", embeddings.schema[id_col].dataType),
@@ -127,6 +147,12 @@ def brute_force_topk_arrow(embeddings: DataFrame, queries: DataFrame,
                 vn = np.linalg.norm(m, axis=1)
                 vn[vn == 0.0] = 1.0
                 scores = (m / vn[:, None]) @ Qt          # B x Q
+                # non-finite scores (NaN elements) sort last everywhere:
+                # locally (lexsort would already push NaN last) AND in
+                # the global window, where Spark ranks NaN ABOVE all
+                # doubles under desc — -inf restores NULLS-LAST-like
+                # ordering consistent with the native twin
+                scores[~np.isfinite(scores)] = -np.inf
                 take = min(kk, len(ids))
                 out_q, out_n, out_c = [], [], []
                 for j, qid in enumerate(q_ids):

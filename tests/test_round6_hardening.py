@@ -206,3 +206,26 @@ def test_brute_force_topk_arrow_parity(spark):
     empty = brute_force_topk_arrow(emb, queries.where("vec_id < 0"), k=5)
     assert empty.count() == 0
     assert empty.columns == ["query_id", "neighbor_id", "rank", "cos"]
+
+
+def test_brute_force_arrow_null_query_and_nan_candidate(spark):
+    from paper_layout_parser_spark.operators.similarity import (
+        brute_force_topk_arrow,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.8, 0.2]),
+         (3, [float("nan"), 1.0]), (4, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    # NULL query embedding: fail fast with a clear contract error
+    with pytest.raises(ValueError, match="NULL"):
+        brute_force_topk_arrow(
+            emb.unionByName(spark.createDataFrame(
+                [(9, None)], "vec_id long, embedding array<double>")),
+            spark.createDataFrame([(9, None)],
+                                  "vec_id long, embedding array<double>"),
+            k=2)
+    # NaN-element candidate must rank LAST (the raw NaN score would rank
+    # FIRST in Spark's desc window), so the finite candidates win
+    got = brute_force_topk_arrow(emb, emb.where("vec_id = 0"), k=3).collect()
+    assert [r["neighbor_id"] for r in got] == [1, 2, 4]

@@ -45,8 +45,8 @@ def _oracle_sql(n: int, min_count: int) -> str:
     return f"""
 WITH d AS (
   SELECT doc_id,
-         CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(text), '\\s+') END AS w
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS w
   FROM documents
 ),
 g AS (
@@ -108,7 +108,14 @@ class TestRemoveDuplicateSpans:
             [(1, "alpha beta gamma"),               # < n words: untouched
              (2, None),                             # NULL -> empty, row kept
              (3, "x y z w v x y z w v tail"),       # within-doc repeat
-             (4, "unique words only here today now")],
+             (4, "unique words only here today now"),
+             # leading \n + trailing \t: F.trim would leave phantom ''
+             # boundary tokens (trim strips only ASCII spaces) that
+             # could turn a 4-word repeat into a 5-window match — the
+             # filter-empties tokenization must see exactly 6 words
+             (5, "\nquick brown foxes jumping over fences\t"),
+             (6, "quick brown foxes jumping over fences"),
+             (None, "rows with a null id keep their text verbatim ok")],
             "doc_id long, text string",
         )
         out = {r["doc_id"]: (r["deduped_text"], r["n_tokens_removed"])
@@ -118,6 +125,13 @@ class TestRemoveDuplicateSpans:
         # 'x y z w v' occurs twice within doc 3 -> both spans removed
         assert out[3] == ("tail", 10)
         assert out[4] == ("unique words only here today now", 0)
+        # docs 5 and 6 share all 6 words -> every window duplicated;
+        # the whitespace-wrapped twin must dedup IDENTICALLY to the
+        # clean one (phantom tokens would desynchronize the windows)
+        assert out[5] == ("", 6) and out[6] == ("", 6)
+        # NULL id: one ordinary group (null-safe joins), text kept —
+        # a plain equi-join would silently empty it
+        assert out[None] == ("rows with a null id keep their text verbatim ok", 0)
 
     def test_partitioning_invariance(self, docs):
         a = {r["doc_id"]: r["deduped_text"]
