@@ -458,32 +458,43 @@ def remove_duplicate_spans(docs: DataFrame, n: int = 8,
     occurs verbatim elsewhere in the corpus). Word-level approximation:
     every token covered by an ``n``-word window whose window occurs
     ``min_count``-or-more times ACROSS THE CORPUS (including repeats
-    inside one document) is removed, and each document's text is
-    reassembled from its surviving tokens in original order, single-
-    space joined (whitespace runs are normalized — the operator is
-    about token content, not layout; run it before, not after,
-    layout-sensitive steps). Complements dedup_lines (verbatim LINES)
-    and MinHash (whole near-dup DOCUMENTS): this catches boilerplate
-    paragraphs pasted mid-text that neither of those sees.
+    inside one document) is removed, and each TOUCHED document's text
+    is reassembled from its surviving tokens in original order,
+    single-space joined (whitespace runs in touched documents are
+    normalized — the operator is about token content, not layout; run
+    it before, not after, layout-sensitive steps). Documents with NO
+    covered position — at production dup rates the vast majority —
+    pass through BYTE-IDENTICAL (``out_col`` is the original
+    ``text_col`` value, NULL stays NULL) with ``n_tokens_removed`` 0,
+    and never enter the tokenize / anti-join / reassembly legs.
+    Complements dedup_lines (verbatim LINES) and MinHash (whole
+    near-dup DOCUMENTS): this catches boilerplate paragraphs pasted
+    mid-text that neither of those sees.
 
     Returns the input columns plus ``out_col`` and
     ``n_tokens_removed``; one row per input document (a fully-
     duplicated document keeps its row with empty text). Documents
     shorter than ``n`` words contribute no windows and come back
-    untouched. NULL text is treated as the empty string (the
-    one-row-per-input contract of dedup_lines).
+    untouched. Precondition: ``id_col`` values must be unique (one row
+    per document — the dedup_lines contract). A duplicated id would
+    multiply rows in the final meta join (2 doc rows x 2 meta rows =
+    4 output rows) and double-count that document's windows in the
+    corpus tally; dedup upstream (dedup_exact) first.
 
     Scale shape: windows explode to (len - n + 1) rows per document —
-    linear in corpus tokens; the corpus-wide count groups on
-    xxhash64(window) (16-byte keys, partial aggregation combines the
-    viral boilerplate window map-side); the flag join is a LEFT SEMI
-    against one row per duplicated key; coverage explodes n positions
-    per duplicated window (bounded by n x hits) onto narrow (id, pos)
-    ints; reassembly is the dedup_lines array_sort fold, bounded by one
-    document's tokens. Collision note: two DIFFERENT windows colliding
-    in xxhash64 (2^-64 per pair) would remove a non-duplicated span —
-    the cost of never shuffling window text; swap the key for
-    sha2/md5 where that matters."""
+    linear in corpus tokens, and inherently so (every token must be
+    counted to KNOW a document is untouched); the corpus-wide count
+    groups on xxhash64(window) (16-byte keys, partial aggregation
+    combines the viral boilerplate window map-side); the flag join is
+    a LEFT SEMI against one row per duplicated key; coverage explodes
+    n positions per duplicated window (bounded by n x hits) onto
+    narrow (id, pos) ints. The reassembly legs are NOT token-grain in
+    the corpus: tokenize / anti-join / collect_list run only over the
+    LEFT SEMI of documents against the covered-id set, so their cost
+    scales with the touched fraction, not the corpus. Collision note:
+    two DIFFERENT windows colliding in xxhash64 (2^-64 per pair)
+    would remove a non-duplicated span — the cost of never shuffling
+    window text; swap the key for sha2/md5 where that matters."""
     # filter-empties instead of trim: F.trim strips only ASCII spaces,
     # so leading/trailing \n or \t would leave phantom '' tokens at the
     # array ends (split keeps boundary empties) — an (n-1)-word repeat
@@ -495,9 +506,6 @@ def remove_duplicate_spans(docs: DataFrame, n: int = 8,
         lambda x: x != "",
     )
     d = docs.select(F.col(id_col).alias("__id"), w.alias("__w"))
-    toks = d.select(
-        "__id", F.posexplode_outer("__w").alias("__q", "__word")
-    )
     starts = F.when(
         F.size("__w") >= n, F.sequence(F.lit(0), F.size("__w") - n)
     ).otherwise(F.array().cast("array<int>"))
@@ -522,6 +530,16 @@ def remove_duplicate_spans(docs: DataFrame, n: int = 8,
     # ordinary group)
     covr = cov.withColumnRenamed("__id", "__cid").withColumnRenamed(
         "__q", "__cq")
+    # gate: only documents with at least one covered position enter the
+    # tokenize / anti-join / reassembly legs — untouched documents (the
+    # vast majority at production dup rates) skip two token-grain
+    # shuffles entirely and pass through byte-identical below
+    touched = covr.select(F.col("__cid").alias("__tid")).distinct()
+    dt = d.join(touched, F.col("__id").eqNullSafe(F.col("__tid")),
+                "left_semi")
+    toks = dt.select(
+        "__id", F.posexplode_outer("__w").alias("__q", "__word")
+    )
     kept = (toks.join(
         covr,
         F.col("__id").eqNullSafe(F.col("__cid"))
@@ -537,21 +555,32 @@ def remove_duplicate_spans(docs: DataFrame, n: int = 8,
         F.size("ts").alias("__n_kept"),
     )
     # token totals ride a narrow (id, count) side table so the output
-    # projection does not re-run the regex split over every text body
-    totals = d.select(F.col("__id").alias("__mid"),
-                      F.size("__w").alias("__nw"))
+    # projection does not re-run the regex split over every text body;
+    # meta holds one row per TOUCHED document only, with an explicit
+    # literal flag (a fully-covered doc has no `clean` row, so __clean
+    # NULL means empty-after-removal there — and the flag, not a
+    # NULL-check on the join key, marks touched NULL-id docs correctly)
+    totals = dt.select(F.col("__id").alias("__mid"),
+                       F.size("__w").alias("__nw"))
     meta = (totals
             .join(clean, F.col("__mid").eqNullSafe(F.col("__id")), "left")
-            .drop("__id"))
+            .select(
+                "__mid",
+                F.coalesce(F.col("__clean"), F.lit("")).alias("__clean"),
+                (F.col("__nw") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+                .alias("__rm"),
+                F.lit(True).alias("__touched"),
+            ))
     return (
         docs.join(meta, F.col(id_col).eqNullSafe(F.col("__mid")), "left")
-        .withColumn(out_col, F.coalesce(F.col("__clean"), F.lit("")))
         .withColumn(
-            "n_tokens_removed",
-            F.coalesce(F.col("__nw"), F.lit(0))
-            - F.coalesce(F.col("__n_kept"), F.lit(0)),
+            out_col,
+            F.when(F.coalesce(F.col("__touched"), F.lit(False)),
+                   F.col("__clean")).otherwise(F.col(text_col)),
         )
-        .drop("__mid", "__clean", "__n_kept", "__nw")
+        .withColumn("n_tokens_removed",
+                    F.coalesce(F.col("__rm"), F.lit(0)))
+        .drop("__mid", "__clean", "__rm", "__touched")
     )
 
 

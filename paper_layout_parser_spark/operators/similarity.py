@@ -43,10 +43,34 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _sanitize_cos(raw: Column) -> Column:
+    """Degenerate-cosine contract shared by BOTH brute-force twins: a
+    cosine that comes out NULL (NULL query or candidate embedding) or
+    NaN (a NaN element riding through the fold / Arrow batch) becomes
+    -inf, so degenerate candidates rank LAST deterministically (id
+    tie-break) under the (cos DESC, id ASC) window. Without this the
+    engines disagree three ways: Spark's desc window ranks NaN ABOVE
+    every double, NULL cos sorts NULLS-LAST, and a zero-substituted
+    NULL embedding would score 0 (mid-ranking)."""
+    return F.when(raw.isNull() | F.isnan(raw),
+                  F.lit(float("-inf"))).otherwise(raw)
+
+
+def _report_cos(col: Column) -> Column:
+    """round_half_up goes through F.floor (long-valued) which cannot
+    represent -inf — report the -inf sentinel unrounded."""
+    return F.when(col == F.lit(float("-inf")),
+                  col).otherwise(round_half_up(col, 6))
+
+
 def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """For each query row, the top-k nearest candidates by cosine
     (excluding self), deterministic tie-break on candidate id.
+    Degenerate pairs (NULL embedding on either side, NaN element)
+    report cos = -inf and rank last — see _sanitize_cos; this is the
+    same contract the Arrow twin implements, so the twins agree on
+    NaN/NULL inputs.
 
     ``queries`` is expected to be small relative to ``embeddings`` —
     broadcast it so the scan over the big side is shuffle-free."""
@@ -59,14 +83,14 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     scored = (
         q.crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cos", _sanitize_cos(cosine(F.col("qv"), F.col("cv"))))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank",
-                round_half_up(F.col("cos"), 6).alias("cos"))
+                _report_cos(F.col("cos")).alias("cos"))
     )
 
 
@@ -83,15 +107,15 @@ def brute_force_topk_arrow(embeddings: DataFrame, queries: DataFrame,
     per query instead of N. Same output contract (rank by cos DESC,
     neighbor_id ASC, self excluded, cos rounded half-up to 6); batch-
     local pruning is exact because it uses the same (cos DESC, id ASC)
-    order as the global window. NULL CANDIDATE embeddings score 0 like
-    the assignment path; candidates whose cosine comes out non-finite
-    (a NaN element riding through Arrow) are scored -inf so they rank
-    LAST globally, mirroring the native path's NULL-cos NULLS-LAST
-    ordering (they can still surface, as cos -inf vs native's NULL,
-    when a query has fewer than k finite candidates). NULL QUERY
-    embeddings raise ValueError up front — the native path returns
-    all-NULL-cos rows for them, which this path cannot reproduce
-    (filter them, or use brute_force_topk). Queries are collected
+    order as the global window. Degenerate candidates — NULL embedding,
+    or a cosine that comes out non-finite (NaN element riding through
+    Arrow) — score -inf and rank LAST with id tie-break, the SAME
+    contract the native twin's _sanitize_cos enforces, so the twins
+    agree row-for-row on NaN/NULL candidates (twin-compared in
+    tests/test_round6_hardening.py). NULL QUERY embeddings raise
+    ValueError up front — the native path returns all-(-inf)-cos rows
+    for them, a degenerate answer better surfaced than silently
+    returned (filter them, or use brute_force_topk). Queries are collected
     driver-side — the same "small relative to embeddings" contract the
     native path's broadcast already imposes, made explicit.
     Seam vs native: ranking runs on the UNROUNDED cosine in both twins,
@@ -140,19 +164,25 @@ def brute_force_topk_arrow(embeddings: DataFrame, queries: DataFrame,
                     continue
                 ids = pdf[id_col].to_numpy()
                 raw = pdf[vec_col].to_numpy()
-                if any(x is None for x in raw):
+                null_mask = np.fromiter((x is None for x in raw),
+                                        dtype=bool, count=len(raw))
+                if null_mask.any():
                     raw = np.array([zero if x is None else x for x in raw],
                                    dtype=object)
                 m = np.stack(raw).astype(np.float64, copy=False)
                 vn = np.linalg.norm(m, axis=1)
                 vn[vn == 0.0] = 1.0
                 scores = (m / vn[:, None]) @ Qt          # B x Q
-                # non-finite scores (NaN elements) sort last everywhere:
-                # locally (lexsort would already push NaN last) AND in
-                # the global window, where Spark ranks NaN ABOVE all
-                # doubles under desc — -inf restores NULLS-LAST-like
-                # ordering consistent with the native twin
+                # degenerate-candidate contract (_sanitize_cos): NaN
+                # scores AND NULL-embedding candidates become -inf so
+                # they sort last everywhere — locally, and in the
+                # global window where Spark would rank NaN ABOVE all
+                # doubles under desc and a zero-substituted NULL
+                # embedding would score 0 (mid-ranking, unlike the
+                # native twin's NULL cos)
                 scores[~np.isfinite(scores)] = -np.inf
+                if null_mask.any():
+                    scores[null_mask, :] = -np.inf
                 take = min(kk, len(ids))
                 out_q, out_n, out_c = [], [], []
                 for j, qid in enumerate(q_ids):
@@ -175,7 +205,7 @@ def brute_force_topk_arrow(embeddings: DataFrame, queries: DataFrame,
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank",
-                round_half_up(F.col("cos"), 6).alias("cos"))
+                _report_cos(F.col("cos")).alias("cos"))
     )
 
 

@@ -86,7 +86,13 @@ def curate_documents(
     row, all rows group as one host, and the corpus silently truncates
     to N documents total. Guarded: when ``host_cap`` is set without
     ``host_col``, a tiny probe (first ≤200 ids) must parse at least one
-    host or this raises ValueError.
+    host or this raises ValueError. The probe is an EAGER Spark job at
+    plan-construction time (the asof_join bounds-probe pattern): it
+    partially executes ``docs``' lineage up to ``limit(200)`` — cheap
+    when ``docs`` is a table scan, but if ``docs`` hangs off an
+    expensive UDF chain, materialize/checkpoint it first (as
+    build_training_corpus does with ``catalog=``) or pass ``host_col``
+    to skip the probe entirely.
     ``shuffle_salt`` orders the final corpus with
     curation.deterministic_shuffle (training order; salt = epoch)."""
     if host_cap and host_col is None:
@@ -166,7 +172,14 @@ def build_training_corpus(
     the same warehouse) extracts only not-yet-committed urls and never
     double-appends — an ungated append would silently duplicate every
     row, and duplicated rows would then double the corpus-wide line
-    counts and make line dedup empty every document's text."""
+    counts and make line dedup empty every document's text.
+
+    With ``catalog=`` set, curation (including the eager ≤200-row
+    host_cap probe in curate_documents) runs against the COMMITTED
+    extracted table — a parquet scan. Without it, ``extracted`` is the
+    live rasterize+detect UDF lineage and the probe re-executes a
+    bounded slice of that chain; pass ``host_col=`` (skips the probe)
+    or ``catalog=`` when that matters."""
     from .pipeline import run_pipeline
 
     if catalog is not None:

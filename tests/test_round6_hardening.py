@@ -229,3 +229,37 @@ def test_brute_force_arrow_null_query_and_nan_candidate(spark):
     # FIRST in Spark's desc window), so the finite candidates win
     got = brute_force_topk_arrow(emb, emb.where("vec_id = 0"), k=3).collect()
     assert [r["neighbor_id"] for r in got] == [1, 2, 4]
+
+
+def test_brute_force_twins_agree_on_nan_and_null_candidates(spark):
+    """The _sanitize_cos degenerate-candidate contract, twin-compared:
+    a NaN-element candidate AND a NULL-embedding candidate must produce
+    IDENTICAL (rank, neighbor, cos) rows from the native fold and the
+    Arrow matmul — cos -inf, ranked last with id tie-break. Pre-fix the
+    twins diverged both ways: native ranked the NaN candidate FIRST
+    (Spark desc puts NaN above every double) while arrow ranked it
+    last, and arrow scored the NULL embedding 0 (mid-ranking, above
+    negative-cosine candidates) while native gave it NULL cos."""
+    from paper_layout_parser_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_arrow,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]),
+         (2, [-1.0, 0.0]),              # negative cosine, still finite
+         (3, [float("nan"), 1.0]),      # NaN element -> cos NaN
+         (4, None)],                    # NULL embedding
+        "vec_id long, embedding array<double>")
+    q = emb.where("vec_id = 0")
+    native = [(r["rank"], r["neighbor_id"], r["cos"])
+              for r in brute_force_topk(emb, q, k=4)
+              .orderBy("rank").collect()]
+    arrow = [(r["rank"], r["neighbor_id"], r["cos"])
+             for r in brute_force_topk_arrow(emb, q, k=4)
+             .orderBy("rank").collect()]
+    assert native == arrow
+    # finite candidates first (even the negative-cosine one), then the
+    # degenerate pair at -inf in id order
+    assert [t[1] for t in native] == [1, 2, 3, 4]
+    assert native[2][2] == float("-inf") and native[3][2] == float("-inf")

@@ -44,7 +44,7 @@ def duck():
 def _oracle_sql(n: int, min_count: int) -> str:
     return f"""
 WITH d AS (
-  SELECT doc_id,
+  SELECT doc_id, text,
          list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
                      x -> x <> '') AS w
   FROM documents
@@ -74,11 +74,16 @@ clean AS (
   SELECT doc_id, string_agg(word, ' ' ORDER BY q) AS deduped,
          count(*) AS n_kept
   FROM kept GROUP BY doc_id
-)
+),
+touched AS (SELECT DISTINCT doc_id FROM cov)
 SELECT d.doc_id,
-       coalesce(c.deduped, '') AS deduped_text,
-       len(d.w) - coalesce(c.n_kept, 0) AS n_tokens_removed
-FROM d LEFT JOIN clean c USING (doc_id)"""
+       CASE WHEN t.doc_id IS NOT NULL THEN coalesce(c.deduped, '')
+            ELSE d.text END AS deduped_text,
+       CASE WHEN t.doc_id IS NOT NULL
+            THEN len(d.w) - coalesce(c.n_kept, 0)
+            ELSE 0 END AS n_tokens_removed
+FROM d LEFT JOIN clean c USING (doc_id)
+       LEFT JOIN touched t USING (doc_id)"""
 
 
 class TestRemoveDuplicateSpans:
@@ -106,7 +111,7 @@ class TestRemoveDuplicateSpans:
     def test_short_null_and_within_doc_repeats(self, spark):
         df = spark.createDataFrame(
             [(1, "alpha beta gamma"),               # < n words: untouched
-             (2, None),                             # NULL -> empty, row kept
+             (2, None),                             # NULL untouched -> NULL
              (3, "x y z w v x y z w v tail"),       # within-doc repeat
              (4, "unique words only here today now"),
              # leading \n + trailing \t: F.trim would leave phantom ''
@@ -121,7 +126,9 @@ class TestRemoveDuplicateSpans:
         out = {r["doc_id"]: (r["deduped_text"], r["n_tokens_removed"])
                for r in remove_duplicate_spans(df, n=5).collect()}
         assert out[1] == ("alpha beta gamma", 0)
-        assert out[2] == ("", 0)
+        # NULL text yields no windows -> untouched -> passes through
+        # byte-identical, i.e. stays NULL (not coerced to '')
+        assert out[2] == (None, 0)
         # 'x y z w v' occurs twice within doc 3 -> both spans removed
         assert out[3] == ("tail", 10)
         assert out[4] == ("unique words only here today now", 0)
@@ -132,6 +139,32 @@ class TestRemoveDuplicateSpans:
         # NULL id: one ordinary group (null-safe joins), text kept —
         # a plain equi-join would silently empty it
         assert out[None] == ("rows with a null id keep their text verbatim ok", 0)
+
+    def test_untouched_docs_byte_identical(self, spark):
+        """The touched-docs gate contract: documents with zero covered
+        positions come back with deduped_text == text byte-for-byte —
+        internal multi-space runs, newlines, tabs, and leading/trailing
+        whitespace all preserved (the pre-gate implementation
+        whitespace-normalized EVERY document, breaking the pipeline's
+        byte-identity north star for 95%+ of the corpus)."""
+        gnarly = "para one\n\n  indented\tline   wide gaps \n trailing "
+        df = spark.createDataFrame(
+            [(1, gnarly),
+             (2, "spam spam spam spam spam unique one"),
+             (3, "spam spam spam spam spam unique two"),
+             (4, " nbsp　ideographic space kept verbatim ")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: (r["deduped_text"], r["n_tokens_removed"])
+               for r in remove_duplicate_spans(df, n=5).collect()}
+        # untouched: byte-identical, including the trailing space
+        assert out[1] == (gnarly, 0)
+        assert out[4] == (" nbsp　ideographic space kept "
+                          "verbatim ", 0)
+        # touched docs still reassemble single-spaced ('spam'x5 AND
+        # 'spam'x4+'unique' windows are both shared -> 6 tokens covered)
+        assert out[2] == ("one", 6)
+        assert out[3] == ("two", 6)
 
     def test_partitioning_invariance(self, docs):
         a = {r["doc_id"]: r["deduped_text"]
