@@ -677,17 +677,29 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(top, "doc_id")
 
 
-def q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic train/val/test assignment via md5 hex thresholds —
-    no RNG, engine-independent, oracle-checked bit-for-bit."""
-    from paper_layout_parser_spark.operators.curation import assign_split
+_SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25}
 
-    return assign_split(_docs(spark, sf_dir).select("doc_id")).select(
-        "doc_id", "split"
+
+def q_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment PLUS per-language
+    downsampling survival, one scan (r7: the former separate `split`
+    and `sample` registry entries — both pure projections of the same
+    md5 hex-threshold mechanism over the same table — merged to free a
+    registry slot for span_dedup, the token_count->quality pattern).
+    No RNG, engine-independent, oracle-checked bit-for-bit; `sampled`
+    comes from curation.sample_predicate, the SAME Column
+    stratified_sample filters on."""
+    from paper_layout_parser_spark.operators.curation import (
+        assign_split,
+        sample_predicate,
     )
 
-
-_SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25}
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return assign_split(d).withColumn(
+        "sampled",
+        sample_predicate(_SAMPLE_FRACTIONS, by="lang",
+                         default_fraction=0.75),
+    ).select("doc_id", "lang", "split", "sampled")
 
 
 def q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -699,14 +711,36 @@ def q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_docs(spark, sf_dir), max_tokens=256, num_buckets=8)
 
 
-def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic per-language downsampling (rebalance overrepresented
-    strata) — same md5-threshold mechanism, oracle-checked bit-for-bit."""
-    from paper_layout_parser_spark.operators.curation import stratified_sample
+# boilerplate sentence planted into every third document so the graded
+# span_dedup query exercises a real cross-document duplicated span on
+# the otherwise-unique synthetic corpus (the q_corpus_filter pattern of
+# deriving fixture structure from doc_id); 9 words, so n=8 windows fit
+_SPAN_PLANT = "please subscribe to our newsletter today for free updates"
 
-    d = _docs(spark, sf_dir).select("doc_id", "lang")
-    return stratified_sample(d, _SAMPLE_FRACTIONS, by="lang",
-                             default_fraction=0.75)
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicate-SPAN removal (the Lee-et-al exact-substring
+    -dedup analog, word-level): every token covered by an 8-word window
+    occurring >=2 times across the corpus is cut; touched documents
+    reassemble single-spaced, untouched documents pass through
+    byte-identical (r7 contract). Oracle recomputes windows/coverage/
+    reassembly from scratch on the gram STRINGS (the Spark side keys on
+    xxhash64 of the gram — the oracle also proves no collision fired)."""
+    from paper_layout_parser_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN doc_id % 3 = 0 "
+            f"THEN concat(text, ' ', '{_SPAN_PLANT}') "
+            "ELSE text END"
+        ).alias("text"),
+    )
+    return remove_duplicate_spans(d, n=8, min_count=2).select(
+        "doc_id", "deduped_text", "n_tokens_removed"
+    )
 
 
 def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -889,8 +923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "line_dedup": q_line_dedup,
         "repetition": q_repetition,
-        "split": q_split,
-        "sample": q_sample,
+        "split_sample": q_split_sample,
+        "span_dedup": q_span_dedup,
         "pack": q_pack,
         "url_canon": q_url_canon,
         "pii_redact": q_pii_redact,
@@ -1455,21 +1489,71 @@ SELECT b.doc_id, b.n_lines, b.dup_line_fraction,
 FROM base b JOIN top USING (doc_id)"""
 
 
-def _split_sql() -> str:
-    from paper_layout_parser_spark.operators.curation import assign_split_sql
-
-    return (f"SELECT doc_id, {assign_split_sql('doc_id')} AS split "
-            f"FROM documents")
-
-
-def _sample_sql() -> str:
+def _split_sample_sql() -> str:
     from paper_layout_parser_spark.operators.curation import (
+        assign_split_sql,
         stratified_sample_sql,
     )
 
     pred = stratified_sample_sql("doc_id", "lang", _SAMPLE_FRACTIONS,
                                  default_fraction=0.75)
-    return f"SELECT doc_id, lang FROM documents WHERE {pred}"
+    return (f"SELECT doc_id, lang, {assign_split_sql('doc_id')} AS split, "
+            f"({pred}) AS sampled FROM documents")
+
+
+def _span_dedup_sql(n: int = 8, min_count: int = 2) -> str:
+    # the tests/test_span_dedup.py twin, inlined over the planted corpus:
+    # windows/coverage/reassembly recomputed from scratch on the gram
+    # STRINGS (independent of the Spark side's xxhash64 keys)
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN concat(text, ' ', '{_SPAN_PLANT}')
+              ELSE text END AS text
+  FROM documents
+),
+dw AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS w
+  FROM d
+),
+g AS (
+  SELECT doc_id, unnest(range(1, greatest(len(w) - {n} + 2, 1))) AS p, w
+  FROM dw
+),
+gr AS (
+  SELECT doc_id, p,
+         array_to_string(list_slice(w, p, p + {n} - 1), ' ') AS gram
+  FROM g
+),
+dup AS (SELECT gram FROM gr GROUP BY gram HAVING count(*) >= {min_count}),
+cov AS (
+  SELECT DISTINCT doc_id, unnest(range(p, p + {n})) AS q
+  FROM gr WHERE gram IN (SELECT gram FROM dup)
+),
+tok AS (
+  SELECT doc_id, unnest(range(1, len(w) + 1)) AS q, w FROM dw
+),
+kept AS (
+  SELECT t.doc_id, t.q, t.w[t.q] AS word
+  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.q = c.q
+  WHERE c.q IS NULL
+),
+clean AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY q) AS deduped,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+touched AS (SELECT DISTINCT doc_id FROM cov)
+SELECT dw.doc_id,
+       CASE WHEN t.doc_id IS NOT NULL THEN coalesce(c.deduped, '')
+            ELSE dw.text END AS deduped_text,
+       CASE WHEN t.doc_id IS NOT NULL
+            THEN len(dw.w) - coalesce(c.n_kept, 0)
+            ELSE 0 END AS n_tokens_removed
+FROM dw LEFT JOIN clean c USING (doc_id)
+        LEFT JOIN touched t USING (doc_id)"""
 
 
 def _pack_sql(max_tokens: int = 256, num_buckets: int = 8) -> str:
@@ -1805,8 +1889,8 @@ SELECT doc_id, (doc_id IN (SELECT doc_id FROM hits)) AS contaminated
 FROM documents""",
         "line_dedup": _line_dedup_sql(),
         "repetition": _repetition_sql(),
-        "split": _split_sql(),
-        "sample": _sample_sql(),
+        "split_sample": _split_sample_sql(),
+        "span_dedup": _span_dedup_sql(),
         "pack": _pack_sql(),
         "url_canon": _url_canon_sql(),
         "sketch_stats": """

@@ -267,6 +267,23 @@ def stratified_sample(
     ``fractions`` keep ``default_fraction`` of their rows (1.0 keeps them
     ALL — the hex_bound 'g' sentinel, not an 'ffffffff' cap that would
     drop one row in 2^32)."""
+    return docs.where(sample_predicate(fractions, by=by,
+                                       default_fraction=default_fraction,
+                                       salt=salt, id_col=id_col))
+
+
+def sample_predicate(
+    fractions: dict[str, float],
+    by: str = "lang",
+    default_fraction: float = 1.0,
+    salt: str = "plp-sample",
+    id_col: str = "doc_id",
+):
+    """stratified_sample's keep-predicate as a boolean Column — the ONE
+    implementation of the threshold literals (hex_bound / salted_h8),
+    usable either as a filter (stratified_sample) or projected as a
+    survival flag alongside other hex-threshold columns in a single
+    scan (the driver's split_sample query)."""
     entries = []
     for k, f in fractions.items():
         entries.extend([F.lit(k), F.lit(hex_bound(f))])
@@ -275,7 +292,7 @@ def stratified_sample(
     bound = F.lit(hex_bound(default_fraction))
     if thresholds is not None:
         bound = F.coalesce(F.element_at(thresholds, F.col(by)), bound)
-    return docs.where(h8 < bound)
+    return h8 < bound
 
 
 def stratified_sample_sql(id_expr: str, by_expr: str,

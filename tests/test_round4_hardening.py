@@ -205,3 +205,6 @@ class TestRegistryContract:
         # registry query now has an oracle
         assert len(oracles) == 50
         assert "host_cap" in oracles and "registrable_domain" in oracles
+        # r7 rotation: split + sample (both md5-hex-threshold projections
+        # of one scan) merged into split_sample, seating span_dedup
+        assert "span_dedup" in oracles and "split_sample" in oracles
