@@ -379,6 +379,130 @@ def deterministic_shuffle(
     return docs.orderBy(salted_h8(salt, id_col), F.col(id_col))
 
 
+def load_public_suffixes(
+    spark,
+    path: str | None = None,
+    text: str | None = None,
+    observed_hosts: DataFrame | None = None,
+    host_col: str = "host",
+    on_unexpanded_wildcard: str = "warn",
+) -> DataFrame:
+    """Parse a Public Suffix List (publicsuffix.org format) into the
+    LITERAL one-column ``suffix`` table with_registrable_domain consumes,
+    pre-expanding the grammar's wildcard and exception rules so
+    longest-literal-match reproduces the PSL algorithm on the hosts the
+    caller actually has:
+
+    - comment (``//``) and blank lines are skipped; each rule is the
+      first whitespace-delimited token of its line, lowercased (the
+      canonical list is already punycode/ASCII);
+    - literal rules pass through;
+    - exception rules (``!www.ck``) emit the rule minus its leftmost
+      label (``ck``) — per the PSL algorithm the prevailing exception
+      makes that PARENT the public suffix — and additionally VETO the
+      exception body (``www.ck``) from wildcard expansion, which is
+      what makes www.ck a registrable domain rather than a suffix;
+    - wildcard rules (``*.ck``; ``*`` must be the leftmost label, as in
+      every rule the real list has ever shipped — anything else raises)
+      are expanded against ``observed_hosts``: each DISTINCT observed
+      host whose trailing labels match the rule tail contributes its
+      concrete instance (host ``a.b.test.ck`` -> suffix ``test.ck``),
+      minus exception-vetoed instances. With no ``observed_hosts``,
+      behavior follows ``on_unexpanded_wildcard``: ``'warn'`` (default)
+      drops wildcard rules with a warnings.warn, ``'drop'`` drops them
+      silently, ``'error'`` raises.
+
+    Approximation, stated: expansion covers the hosts you expanded
+    against. A host under a wildcard TLD that was NOT observed at
+    expansion time falls back to the exception-parent/TLD literal (if
+    emitted) or no match — e.g. unobserved ``foo.ck`` derives domain
+    ``foo.ck`` where strict PSL wildcard semantics say it IS a public
+    suffix (NULL domain). Expanding against the same corpus you then
+    annotate eliminates the gap (the intended usage: pass the corpus
+    hosts); the published PSL test vectors for the ``*.ck`` /
+    ``!www.ck`` and ``*.kobe.jp`` / ``!city.kobe.jp`` families pass
+    under that usage (tests/test_trainingdata.py).
+
+    Scale shape: rules are driver-side (the real list is ~10k lines);
+    only wildcard expansion touches data — DISTINCT observed hosts
+    theta-join the few-dozen-row broadcast wildcard-tail table on an
+    endswith predicate (BroadcastNestedLoopJoin over the tiny side),
+    then project the trailing labels. Output is a small DISTINCT
+    suffix table, broadcast again by with_registrable_domain."""
+    if (path is None) == (text is None):
+        raise ValueError("pass exactly one of path= or text=")
+    if on_unexpanded_wildcard not in ("warn", "drop", "error"):
+        raise ValueError(
+            "on_unexpanded_wildcard must be 'warn', 'drop', or 'error'")
+    if path is not None:
+        with open(path, encoding="utf-8") as fh:
+            text = fh.read()
+
+    literals: set[str] = set()
+    wildcards: set[str] = set()   # rule tails: '*.ck' stored as 'ck'
+    vetoes: set[str] = set()      # exception bodies, e.g. 'www.ck'
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("//"):
+            continue
+        rule = line.split()[0].lower()
+        if rule.startswith("!"):
+            body = rule[1:]
+            parent = body.split(".", 1)
+            if len(parent) < 2:
+                raise ValueError(
+                    f"exception rule {rule!r} has no parent suffix")
+            literals.add(parent[1])
+            vetoes.add(body)
+        elif "*" in rule:
+            if not rule.startswith("*.") or "*" in rule[2:]:
+                raise ValueError(
+                    f"unsupported wildcard position in rule {rule!r} — "
+                    "only leftmost-label wildcards ('*.tld') occur in "
+                    "the published list")
+            wildcards.add(rule[2:])
+        else:
+            literals.add(rule)
+
+    out = spark.createDataFrame(
+        [(s,) for s in sorted(literals)], "suffix string")
+    if wildcards and observed_hosts is None:
+        msg = (f"{len(wildcards)} wildcard rule(s) "
+               f"({sorted(wildcards)[:3]}...) dropped — pass "
+               "observed_hosts= to expand them into literal suffixes")
+        if on_unexpanded_wildcard == "error":
+            raise ValueError(msg)
+        if on_unexpanded_wildcard == "warn":
+            import warnings
+
+            warnings.warn(msg, stacklevel=2)
+    elif wildcards:
+        tails = F.broadcast(spark.createDataFrame(
+            [(t, t.count(".") + 2) for t in sorted(wildcards)],
+            "__tail string, __want int"))
+        h = (observed_hosts.select(
+                F.lower(F.col(host_col)).alias("__host"))
+             .where(F.col("__host").isNotNull()).distinct())
+        labels = F.split(F.col("__host"), r"\.")
+        inst = (
+            h.join(tails,
+                   F.col("__host").endswith(
+                       F.concat(F.lit("."), F.col("__tail"))))
+            .where(F.size(labels) >= F.col("__want"))
+            # negative-start slice (last __want labels) is TOTAL: the
+            # optimizer may reorder the veto filter below ahead of the
+            # size guard above, and a positive start of
+            # size - want + 1 <= 0 would then raise under ANSI
+            .select(F.array_join(
+                F.slice(labels, -F.col("__want"), F.col("__want")),
+                ".").alias("suffix"))
+        )
+        if vetoes:
+            inst = inst.where(~F.col("suffix").isin(*sorted(vetoes)))
+        out = out.unionByName(inst)
+    return out.distinct()
+
+
 def with_registrable_domain(
     docs: DataFrame,
     suffixes: DataFrame,
@@ -396,11 +520,12 @@ def with_registrable_domain(
     grammar's wildcard (``*.ck``) and exception (``!www.ck``) rules are
     NOT interpreted here: a raw PSL file load would carry the literal
     string ``*.ck``, which matches no host, silently mis-deriving
-    registrable domains under wildcard TLDs. Callers loading the real
-    PSL must pre-expand those rules into literals first (drop the ``!``
-    prefix for exceptions; expand ``*.ck`` against the label sets they
-    care about, or accept plain-``ck`` fallback semantics). Tests use a
-    literal fixture subset — this repo embeds no external data.
+    registrable domains under wildcard TLDs. Load the real PSL through
+    load_public_suffixes, which pre-expands wildcards against your
+    observed hosts and rewrites exceptions per the PSL algorithm
+    (matching the published test vectors — see its docstring for the
+    one stated approximation). Tests use a literal fixture subset —
+    this repo embeds no external data.
 
     Plan: DISTINCT hosts (orders of magnitude fewer than rows — the point
     of domains) each explode into their trailing suffix candidates

@@ -208,3 +208,97 @@ class TestRegistrableDomain:
         farm = out.where(F.col("host").contains("megafarm")).count()
         other = out.where(F.col("host").contains("example")).count()
         assert farm == 5 and other == 4
+
+
+# rule families from the PUBLISHED publicsuffix.org list + test vectors
+# (the *.ck/!www.ck and *.kobe.jp/!city.kobe.jp families) — format
+# fidelity: comments, blank lines, and trailing tokens are exercised
+_PSL_FIXTURE = """\
+// ---- fixture subset of the published list ----
+jp
+// jp geographic types
+*.kobe.jp
+!city.kobe.jp
+
+// ck : https://en.wikipedia.org/wiki/.ck
+*.ck
+!www.ck
+com
+"""
+
+# (host, registrable domain) straight from the published test file
+# (checkPublicSuffix vectors for these families)
+_PSL_VECTORS = [
+    ("c.kobe.jp", None),
+    ("b.c.kobe.jp", "b.c.kobe.jp"),
+    ("a.b.c.kobe.jp", "b.c.kobe.jp"),
+    ("city.kobe.jp", "city.kobe.jp"),
+    ("www.city.kobe.jp", "city.kobe.jp"),
+    ("ck", None),
+    ("test.ck", None),
+    ("b.test.ck", "b.test.ck"),
+    ("a.b.test.ck", "b.test.ck"),
+    ("www.ck", "www.ck"),
+    ("www.www.ck", "www.ck"),
+]
+
+
+class TestLoadPublicSuffixes:
+    """load_public_suffixes: the PSL grammar (wildcards + exceptions)
+    pre-expanded into the literal table with_registrable_domain
+    consumes, validated against the PSL algorithm's PUBLISHED test
+    vectors for the wildcard/exception families."""
+
+    def test_published_vectors(self, spark):
+        from paper_layout_parser_spark.operators.curation import (
+            load_public_suffixes,
+            with_registrable_domain,
+        )
+        hosts = spark.createDataFrame(
+            [(i, h) for i, (h, _) in enumerate(_PSL_VECTORS)],
+            "id long, host string",
+        )
+        sx = load_public_suffixes(spark, text=_PSL_FIXTURE,
+                                  observed_hosts=hosts)
+        got = sorted(r["suffix"] for r in sx.collect())
+        # exception parents emitted, exception bodies vetoed from
+        # wildcard expansion, wildcard instances concrete
+        assert got == ["c.kobe.jp", "ck", "com", "jp", "kobe.jp",
+                       "test.ck"]
+        out = {r["host"]: r["domain"] for r in
+               with_registrable_domain(hosts, sx).collect()}
+        assert out == dict(_PSL_VECTORS)
+
+    def test_wildcards_without_observed_hosts(self, spark):
+        import warnings
+
+        from paper_layout_parser_spark.operators.curation import (
+            load_public_suffixes,
+        )
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            sx = load_public_suffixes(spark, text=_PSL_FIXTURE)
+            assert any("wildcard" in str(x.message) for x in w)
+        # wildcards dropped; literals + exception parents survive
+        assert sorted(r["suffix"] for r in sx.collect()) == [
+            "ck", "com", "jp", "kobe.jp"]
+        with pytest.raises(ValueError, match="wildcard"):
+            load_public_suffixes(spark, text=_PSL_FIXTURE,
+                                 on_unexpanded_wildcard="error")
+
+    def test_contract_errors_and_path_load(self, spark, tmp_path):
+        from paper_layout_parser_spark.operators.curation import (
+            load_public_suffixes,
+        )
+        with pytest.raises(ValueError, match="exactly one"):
+            load_public_suffixes(spark)
+        with pytest.raises(ValueError, match="exactly one"):
+            load_public_suffixes(spark, path="x", text="y")
+        with pytest.raises(ValueError, match="wildcard position"):
+            load_public_suffixes(spark, text="foo.*.bar")
+        with pytest.raises(ValueError, match="no parent"):
+            load_public_suffixes(spark, text="!ck")
+        p = tmp_path / "psl.dat"
+        p.write_text("com\norg\n// c\n", encoding="utf-8")
+        sx = load_public_suffixes(spark, path=str(p))
+        assert sorted(r["suffix"] for r in sx.collect()) == ["com", "org"]
