@@ -736,6 +736,128 @@ C=256 in tests/test_round5_hardening.py).
     spark.stop()
 
 
+def ivf_recall_mode() -> None:
+    """IVF recall on a CLUSTERED corpus (r7). The --ann-capacity query-leg
+    probe measures recall on hash-UNIFORM embeddings — the worst case for
+    a coarse quantizer by construction (no cluster structure, so recall
+    sits near nprobe/C no matter how good the index is), which makes its
+    recall column uninformative about index quality. Real embedding
+    corpora cluster; this probe plants that structure
+    (synthdata.clustered_embeddings) and measures the recall/nprobe
+    trade the operator exists for, with HELD-OUT queries drawn from the
+    same mixture (the capacity probe's queries are corpus members, so
+    truth includes the self-match — held-out is the honest ANN shape).
+    Appends a section to BENCH/ANN_CAPACITY.md."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from paper_layout_parser_spark.operators.similarity import (
+        assign_clusters_arrow,
+        brute_force_topk_arrow,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+    from paper_layout_parser_spark.synthdata import clustered_embeddings
+
+    dim = int(os.environ.get("SPARK_GRAFT_ANN_DIM", "768"))
+    n_vecs = int(os.environ.get("SPARK_GRAFT_ANN_N", "100000"))
+    n_true = int(os.environ.get("SPARK_GRAFT_ANN_TRUE_CLUSTERS", "512"))
+    C = int(os.environ.get("SPARK_GRAFT_ANN_C", "1024"))
+    n_queries, k = 32, 10
+    spark = _fresh_spark(CPUS)
+    # generation is scaffolding: materialize BEFORE timing
+    path = os.path.join(tempfile.mkdtemp(prefix="plp_ivfr_"), "emb.parquet")
+    (clustered_embeddings(spark, n_vecs, dim, n_true)
+     .repartition(2 * CPUS).write.mode("overwrite").parquet(path))
+    emb = spark.read.parquet(path)
+    # held-out queries: same mixture, ids past the corpus range (one per
+    # true cluster for the first n_queries clusters)
+    queries = (clustered_embeddings(spark, n_queries, dim, n_true,
+                                    id_start=n_vecs)
+               .persist())
+    queries.count()
+    # warm-up (JVM/Arrow/numpy cold start — the hardware-scaling lesson)
+    warm = train_ivf_centroids(emb.where(F.col("vec_id") < 5000),
+                               num_centroids=8, max_iter=1, dim=dim,
+                               sample_fraction=0.2, assign_impl="arrow")
+    assign_clusters_arrow(emb.where(F.col("vec_id") < 5000), warm,
+                          "embedding", "c").agg(F.count("c")).collect()
+    t0 = time.monotonic()
+    cents = train_ivf_centroids(emb, num_centroids=C, max_iter=3, dim=dim,
+                                sample_fraction=0.1, assign_impl="arrow")
+    t_train = time.monotonic() - t0
+    t0 = time.monotonic()
+    idx = assign_clusters_arrow(emb, cents, "embedding",
+                                "cluster").persist()
+    idx.count()
+    t_assign = time.monotonic() - t0
+    truth = (brute_force_topk_arrow(emb, queries, k=k)
+             .select("query_id", "neighbor_id").persist())
+    n_truth = truth.count()
+    ivf_topk(emb, queries, k=k, num_centroids=C, nprobe=1, dim=dim,
+             centroids=cents, assigned=idx).count()   # warm the plan
+    res = {}
+    for nprobe in (1, 8, 32):
+        t0 = time.monotonic()
+        r = ivf_topk(emb, queries, k=k, num_centroids=C, nprobe=nprobe,
+                     dim=dim, centroids=cents, assigned=idx).persist()
+        nrows = r.count()
+        t_q = time.monotonic() - t0
+        hits = (r.select("query_id", "neighbor_id")
+                .join(truth, ["query_id", "neighbor_id"], "left_semi")
+                .count())
+        r.unpersist()
+        res[nprobe] = {"t": t_q, "recall": hits / n_truth, "rows": nrows}
+        print(f"clustered ivf nprobe={nprobe}: {t_q:.2f}s "
+              f"recall@{k} {hits / n_truth:.3f}", file=sys.stderr)
+    truth.unpersist()
+    idx.unpersist()
+    queries.unpersist()
+    section = f"""## Clustered-corpus recall (r7)
+
+Same operator and production shape (one trained index via ``centroids=``
++ ``assigned=``; train {t_train:.0f} s, assign {t_assign:.0f} s paid
+once) on a corpus WITH cluster structure:
+{n_vecs:,} vectors, dim={dim}, {n_true} planted clusters
+(synthdata.clustered_embeddings — hash-derived centers + 0.15 jitter,
+within-cluster cosine ~0.98, cross ~0), C={C}, Q={n_queries} HELD-OUT
+queries from the same mixture, recall@{k} vs the exact brute-force twin.
+
+| nprobe | query wall (s), Q={n_queries} | recall@{k} | result rows |
+|---|---|---|---|
+| 1 | {res[1]['t']:.2f} | {res[1]['recall']:.3f} | {res[1]['rows']} |
+| 8 | {res[8]['t']:.2f} | {res[8]['recall']:.3f} | {res[8]['rows']} |
+| 32 | {res[32]['t']:.2f} | {res[32]['recall']:.3f} | {res[32]['rows']} |
+
+Contrast with the uniform table above (0.003 -> 0.091 over the same
+nprobe sweep): on clustered data the quantizer recovers the planted
+structure and nprobe buys real recall — the uniform corpus's flat
+near-zero recall is a property of structureless data, not of the index.
+A recall floor on a small clustered fixture is pinned in
+tests/test_round7_hardening.py so index-quality regressions fail fast.
+"""
+    path_md = os.path.join("BENCH", "ANN_CAPACITY.md")
+    marker = "\n## Clustered-corpus recall"
+    os.makedirs("BENCH", exist_ok=True)
+    text = ""
+    if os.path.exists(path_md):
+        with open(path_md) as f:
+            text = f.read()
+        cut = text.find(marker)
+        if cut != -1:
+            text = text[:cut]
+    with open(path_md, "w") as f:
+        f.write(text.rstrip("\n") + "\n\n" + section)
+    print(json.dumps({
+        "t_train_s": round(t_train, 1), "t_assign_s": round(t_assign, 1),
+        "recall": {str(np): round(v["recall"], 3)
+                   for np, v in res.items()},
+        "query_wall_s": {str(np): round(v["t"], 2)
+                         for np, v in res.items()}}))
+    spark.stop()
+
+
 def domain_capacity_mode() -> None:
     """Registrable-domain at host scale (VERDICT r5 ask #5):
     with_registrable_domain is semantics-tested on fixture suffixes;
@@ -1641,6 +1763,8 @@ if __name__ == "__main__":
         corpus_scaling_mode()
     elif "--ann-capacity" in sys.argv:
         ann_capacity_mode()
+    elif "--ivf-recall" in sys.argv:
+        ivf_recall_mode()
     elif "--domain-capacity" in sys.argv:
         domain_capacity_mode()
     else:

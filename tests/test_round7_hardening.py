@@ -71,3 +71,84 @@ class TestSpanDedupGatePlan:
         src = {r["doc_id"]: r["text"] for r in docs.collect()}
         assert all(rows[i]["deduped_text"] == src[i] for i in src)
         assert all(rows[i]["n_tokens_removed"] == 0 for i in src)
+
+
+class TestIvfClusteredRecall:
+    """Recall floor on a corpus WITH cluster structure. The graded oracle
+    pins ivf_topk's mechanics bit-for-bit; nothing until now pinned that
+    the index is any GOOD — on the hash-uniform capacity corpus recall
+    is ~nprobe/C by construction, so a silently broken quantizer (e.g.
+    all centroids collapsing to one list) would look identical to a
+    healthy one. A planted-cluster fixture separates those."""
+
+    def _fixture(self, spark):
+        from paper_layout_parser_spark.synthdata import clustered_embeddings
+
+        corpus = clustered_embeddings(spark, 2000, dim=32, n_clusters=16)
+        queries = clustered_embeddings(spark, 8, dim=32, n_clusters=16,
+                                       id_start=2000)
+        return corpus.persist(), queries.persist()
+
+    def test_recall_floor_and_monotonicity(self, spark):
+        from paper_layout_parser_spark.operators.similarity import (
+            assign_clusters,
+            brute_force_topk,
+            ivf_topk,
+            train_ivf_centroids,
+        )
+
+        corpus, queries = self._fixture(spark)
+        k = 5
+        truth = (brute_force_topk(corpus, queries, k=k)
+                 .select("query_id", "neighbor_id").persist())
+        n_truth = truth.count()
+        assert n_truth == 8 * k
+        cents = train_ivf_centroids(corpus, num_centroids=16, max_iter=3,
+                                    dim=32)
+        idx = assign_clusters(corpus, cents, "embedding", "cluster").persist()
+        recalls = {}
+        for nprobe in (1, 4, 16):
+            r = ivf_topk(corpus, queries, k=k, num_centroids=16,
+                         nprobe=nprobe, dim=32, centroids=cents,
+                         assigned=idx)
+            hits = (r.select("query_id", "neighbor_id")
+                    .join(truth, ["query_id", "neighbor_id"], "left_semi")
+                    .count())
+            recalls[nprobe] = hits / n_truth
+        # held-out queries land in their own planted cluster's list: a
+        # healthy quantizer recovers most of the top-k at nprobe=1
+        assert recalls[1] >= 0.5, recalls
+        assert recalls[4] >= 0.8, recalls
+        # nprobe = C degenerates to exact search (modulo sub-ulp cosine
+        # ties, absent on this separated fixture)
+        assert recalls[16] == 1.0, recalls
+        # more probed lists can only add candidates
+        assert recalls[1] <= recalls[4] <= recalls[16], recalls
+        truth.unpersist()
+        idx.unpersist()
+        corpus.unpersist()
+        queries.unpersist()
+
+    def test_clustered_generator_separation(self, spark):
+        """The generator's contract: within-cluster cosine far above
+        cross-cluster (this is what makes the recall floor meaningful)."""
+        from paper_layout_parser_spark.synthdata import clustered_embeddings
+
+        df = clustered_embeddings(spark, 64, dim=32, n_clusters=4)
+        rows = df.collect()
+        import math
+
+        def cos(a, b):
+            dot = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return dot / (na * nb)
+
+        by_cluster = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster_true"], []).append(r["embedding"])
+        within = [cos(vs[0], vs[1]) for vs in by_cluster.values()]
+        cross = [cos(by_cluster[a][0], by_cluster[b][0])
+                 for a in by_cluster for b in by_cluster if a < b]
+        assert min(within) > 0.9, min(within)
+        assert max(cross) < 0.5, max(cross)
