@@ -730,10 +730,15 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         remove_duplicate_spans,
     )
 
+    # text IS NOT NULL guard: Spark's concat NULL-propagates but
+    # DuckDB's concat SKIPS NULL arguments, so an unguarded CASE would
+    # plant the span into NULL-text documents on the oracle side only
+    # (latent — the sf corpora have no NULL text — but the operator's
+    # contract supports it; r7 review finding)
     d = _docs(spark, sf_dir).select(
         "doc_id",
         F.expr(
-            "CASE WHEN doc_id % 3 = 0 "
+            "CASE WHEN doc_id % 3 = 0 AND text IS NOT NULL "
             f"THEN concat(text, ' ', '{_SPAN_PLANT}') "
             "ELSE text END"
         ).alias("text"),
@@ -1502,58 +1507,18 @@ def _split_sample_sql() -> str:
 
 
 def _span_dedup_sql(n: int = 8, min_count: int = 2) -> str:
-    # the tests/test_span_dedup.py twin, inlined over the planted corpus:
-    # windows/coverage/reassembly recomputed from scratch on the gram
-    # STRINGS (independent of the Spark side's xxhash64 keys)
-    return f"""
-WITH d AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 3 = 0 THEN concat(text, ' ', '{_SPAN_PLANT}')
-              ELSE text END AS text
-  FROM documents
-),
-dw AS (
-  SELECT doc_id, text,
-         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
-                     x -> x <> '') AS w
-  FROM d
-),
-g AS (
-  SELECT doc_id, unnest(range(1, greatest(len(w) - {n} + 2, 1))) AS p, w
-  FROM dw
-),
-gr AS (
-  SELECT doc_id, p,
-         array_to_string(list_slice(w, p, p + {n} - 1), ' ') AS gram
-  FROM g
-),
-dup AS (SELECT gram FROM gr GROUP BY gram HAVING count(*) >= {min_count}),
-cov AS (
-  SELECT DISTINCT doc_id, unnest(range(p, p + {n})) AS q
-  FROM gr WHERE gram IN (SELECT gram FROM dup)
-),
-tok AS (
-  SELECT doc_id, unnest(range(1, len(w) + 1)) AS q, w FROM dw
-),
-kept AS (
-  SELECT t.doc_id, t.q, t.w[t.q] AS word
-  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.q = c.q
-  WHERE c.q IS NULL
-),
-clean AS (
-  SELECT doc_id, string_agg(word, ' ' ORDER BY q) AS deduped,
-         count(*) AS n_kept
-  FROM kept GROUP BY doc_id
-),
-touched AS (SELECT DISTINCT doc_id FROM cov)
-SELECT dw.doc_id,
-       CASE WHEN t.doc_id IS NOT NULL THEN coalesce(c.deduped, '')
-            ELSE dw.text END AS deduped_text,
-       CASE WHEN t.doc_id IS NOT NULL
-            THEN len(dw.w) - coalesce(c.n_kept, 0)
-            ELSE 0 END AS n_tokens_removed
-FROM dw LEFT JOIN clean c USING (doc_id)
-        LEFT JOIN touched t USING (doc_id)"""
+    # shared builder (synthdata.span_dedup_oracle_sql) over the planted
+    # corpus — the pytest twin uses the SAME builder, so the graded gate
+    # and the pytest oracle can never assert different contracts
+    from paper_layout_parser_spark.synthdata import span_dedup_oracle_sql
+
+    planted = (
+        "(SELECT doc_id, "
+        "CASE WHEN doc_id % 3 = 0 AND text IS NOT NULL "
+        f"THEN concat(text, ' ', '{_SPAN_PLANT}') "
+        "ELSE text END AS text FROM documents)"
+    )
+    return span_dedup_oracle_sql(n, min_count, docs_table=planted)
 
 
 def _pack_sql(max_tokens: int = 256, num_buckets: int = 8) -> str:

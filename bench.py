@@ -66,6 +66,51 @@ def materialize_pages(spark, sf_dir: str, replicate: int = 1) -> str:
     return path
 
 
+def _ivf_sweep(emb, queries, cents, idx, truth, nprobes,
+               C: int, dim: int, k: int = 10) -> dict:
+    """Shared IVF query-leg sweep (used by --ann-capacity and
+    --ivf-recall so the two reports cannot drift): warm the query plan
+    at nprobe=1, then per nprobe time `ivf_topk` against ONE trained
+    index (centroids= + assigned=) and score recall@k against the
+    persisted exact-twin `truth` (query_id, neighbor_id)."""
+    from paper_layout_parser_spark.operators.similarity import ivf_topk
+
+    n_truth = truth.count()
+    ivf_topk(emb, queries, k=k, num_centroids=C, nprobe=1, dim=dim,
+             centroids=cents, assigned=idx).count()
+    res = {}
+    for nprobe in nprobes:
+        t0 = time.monotonic()
+        r = ivf_topk(emb, queries, k=k, num_centroids=C, nprobe=nprobe,
+                     dim=dim, centroids=cents, assigned=idx).persist()
+        nrows = r.count()
+        t_q = time.monotonic() - t0
+        hits = (r.select("query_id", "neighbor_id")
+                .join(truth, ["query_id", "neighbor_id"], "left_semi")
+                .count())
+        r.unpersist()
+        res[nprobe] = {"t": t_q, "recall": hits / n_truth, "rows": nrows}
+        print(f"ivf query nprobe={nprobe}: {t_q:.2f}s "
+              f"recall@{k} {hits / n_truth:.3f}", file=sys.stderr)
+    return res
+
+
+def _replace_section(path: str, marker: str, section: str) -> None:
+    """Replace-or-append a report section: everything from `marker` on
+    is cut and `section` is appended (the CORPUS_BUILD/ANN_CAPACITY
+    append pattern, shared so the splice logic cannot drift)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    text = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            text = f.read()
+        cut = text.find(marker)
+        if cut != -1:
+            text = text[:cut]
+    with open(path, "w") as f:
+        f.write(text.rstrip("\n") + "\n\n" + section.lstrip("\n"))
+
+
 def run_extraction(spark, pages_path: str) -> dict:
     """End-to-end extraction job: pages table -> ... -> doc_text + matched
     items. Returns timings and corpus size."""
@@ -617,32 +662,13 @@ def ann_capacity_mode() -> None:
     # grow sub-linearly in nprobe (fixed probe-selection + window costs
     # amortize) — a super-linear step would mean the in-list re-rank
     # leaks beyond its probed lists.
-    from paper_layout_parser_spark.operators.similarity import ivf_topk
-
     idx = assign_clusters_arrow(emb, cents[1024], "embedding",
                                 "cluster").persist()
     idx.count()
     truth = (brute_force_topk_arrow(emb, bf_q, k=10)
              .select("query_id", "neighbor_id").persist())
-    n_truth = truth.count()
-    # warm the query-leg plan (probe selection + in-list fold + window)
-    ivf_topk(emb, bf_q, k=10, num_centroids=1024, nprobe=1, dim=dim,
-             centroids=cents[1024], assigned=idx).count()
-    ivf_res = {}
-    for nprobe in (1, 8, 32):
-        t0 = time.monotonic()
-        r = ivf_topk(emb, bf_q, k=10, num_centroids=1024, nprobe=nprobe,
-                     dim=dim, centroids=cents[1024], assigned=idx).persist()
-        nrows = r.count()
-        t_q = time.monotonic() - t0
-        hits = (r.select("query_id", "neighbor_id")
-                .join(truth, ["query_id", "neighbor_id"], "left_semi")
-                .count())
-        r.unpersist()
-        ivf_res[nprobe] = {"t": t_q, "recall": hits / n_truth,
-                           "rows": nrows}
-        print(f"ivf query nprobe={nprobe}: {t_q:.2f}s "
-              f"recall@10 {hits / n_truth:.3f}", file=sys.stderr)
+    ivf_res = _ivf_sweep(emb, bf_q, cents[1024], idx, truth,
+                         (1, 8, 32), C=1024, dim=dim)
     truth.unpersist()
     idx.unpersist()
     r256, r1024 = results[256], results[1024]
@@ -757,7 +783,6 @@ def ivf_recall_mode() -> None:
     from paper_layout_parser_spark.operators.similarity import (
         assign_clusters_arrow,
         brute_force_topk_arrow,
-        ivf_topk,
         train_ivf_centroids,
     )
     from paper_layout_parser_spark.synthdata import clustered_embeddings
@@ -796,23 +821,8 @@ def ivf_recall_mode() -> None:
     t_assign = time.monotonic() - t0
     truth = (brute_force_topk_arrow(emb, queries, k=k)
              .select("query_id", "neighbor_id").persist())
-    n_truth = truth.count()
-    ivf_topk(emb, queries, k=k, num_centroids=C, nprobe=1, dim=dim,
-             centroids=cents, assigned=idx).count()   # warm the plan
-    res = {}
-    for nprobe in (1, 8, 32):
-        t0 = time.monotonic()
-        r = ivf_topk(emb, queries, k=k, num_centroids=C, nprobe=nprobe,
-                     dim=dim, centroids=cents, assigned=idx).persist()
-        nrows = r.count()
-        t_q = time.monotonic() - t0
-        hits = (r.select("query_id", "neighbor_id")
-                .join(truth, ["query_id", "neighbor_id"], "left_semi")
-                .count())
-        r.unpersist()
-        res[nprobe] = {"t": t_q, "recall": hits / n_truth, "rows": nrows}
-        print(f"clustered ivf nprobe={nprobe}: {t_q:.2f}s "
-              f"recall@{k} {hits / n_truth:.3f}", file=sys.stderr)
+    res = _ivf_sweep(emb, queries, cents, idx, truth, (1, 8, 32),
+                     C=C, dim=dim, k=k)
     truth.unpersist()
     idx.unpersist()
     queries.unpersist()
@@ -839,18 +849,8 @@ near-zero recall is a property of structureless data, not of the index.
 A recall floor on a small clustered fixture is pinned in
 tests/test_round7_hardening.py so index-quality regressions fail fast.
 """
-    path_md = os.path.join("BENCH", "ANN_CAPACITY.md")
-    marker = "\n## Clustered-corpus recall"
-    os.makedirs("BENCH", exist_ok=True)
-    text = ""
-    if os.path.exists(path_md):
-        with open(path_md) as f:
-            text = f.read()
-        cut = text.find(marker)
-        if cut != -1:
-            text = text[:cut]
-    with open(path_md, "w") as f:
-        f.write(text.rstrip("\n") + "\n\n" + section)
+    _replace_section(os.path.join("BENCH", "ANN_CAPACITY.md"),
+                     "\n## Clustered-corpus recall", section)
     print(json.dumps({
         "t_train_s": round(t_train, 1), "t_assign_s": round(t_assign, 1),
         "recall": {str(np): round(v["recall"], 3)
@@ -1148,18 +1148,8 @@ at 100 TB the curation phase is shuffle-bandwidth-bound, and each of
 its shuffles is keyed (line hash, host, covered id, split hash) with
 no per-row Python, so added executors widen every exchange.
 """
-    path = os.path.join("BENCH", "CORPUS_BUILD.md")
-    marker = "\n## N -> 4N scaling of the composed build"
-    os.makedirs("BENCH", exist_ok=True)
-    text = ""
-    if os.path.exists(path):
-        with open(path) as f:
-            text = f.read()
-        cut = text.find(marker)
-        if cut != -1:
-            text = text[:cut]
-    with open(path, "w") as f:
-        f.write(text.rstrip("\n") + "\n" + section)
+    _replace_section(os.path.join("BENCH", "CORPUS_BUILD.md"),
+                     "\n## N -> 4N scaling of the composed build", section)
     print(json.dumps({
         "eff_total": round(eff, 3), "eff_extract": round(eff_ex, 3),
         "eff_curate": round(eff_cu, 3),

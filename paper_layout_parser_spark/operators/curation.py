@@ -388,10 +388,10 @@ def load_public_suffixes(
     on_unexpanded_wildcard: str = "warn",
 ) -> DataFrame:
     """Parse a Public Suffix List (publicsuffix.org format) into the
-    LITERAL one-column ``suffix`` table with_registrable_domain consumes,
-    pre-expanding the grammar's wildcard and exception rules so
-    longest-literal-match reproduces the PSL algorithm on the hosts the
-    caller actually has:
+    LITERAL ``(suffix, self_match)`` table with_registrable_domain
+    consumes, pre-expanding the grammar's wildcard and exception rules
+    so longest-literal-match reproduces the PSL algorithm on the hosts
+    the caller actually has:
 
     - comment (``//``) and blank lines are skipped; each rule is the
       first whitespace-delimited token of its line, lowercased (the
@@ -401,7 +401,12 @@ def load_public_suffixes(
       label (``ck``) — per the PSL algorithm the prevailing exception
       makes that PARENT the public suffix — and additionally VETO the
       exception body (``www.ck``) from wildcard expansion, which is
-      what makes www.ck a registrable domain rather than a suffix;
+      what makes www.ck a registrable domain rather than a suffix.
+      The parent is emitted with ``self_match=false``: it is synthetic
+      (not a rule of the list), so a host EQUAL to it must fall through
+      to the next-longest real rule (``kobe.jp`` under
+      ``{jp, !city.kobe.jp}`` is the registrable domain ``kobe.jp``,
+      not a public suffix — the r7 review's bare-parent case);
     - wildcard rules (``*.ck``; ``*`` must be the leftmost label, as in
       every rule the real list has ever shipped — anything else raises)
       are expanded against ``observed_hosts``: each DISTINCT observed
@@ -439,6 +444,7 @@ def load_public_suffixes(
             text = fh.read()
 
     literals: set[str] = set()
+    parents: set[str] = set()     # exception parents, e.g. 'ck', 'kobe.jp'
     wildcards: set[str] = set()   # rule tails: '*.ck' stored as 'ck'
     vetoes: set[str] = set()      # exception bodies, e.g. 'www.ck'
     for line in text.splitlines():
@@ -452,7 +458,7 @@ def load_public_suffixes(
             if len(parent) < 2:
                 raise ValueError(
                     f"exception rule {rule!r} has no parent suffix")
-            literals.add(parent[1])
+            parents.add(parent[1])
             vetoes.add(body)
         elif "*" in rule:
             if not rule.startswith("*.") or "*" in rule[2:]:
@@ -464,8 +470,18 @@ def load_public_suffixes(
         else:
             literals.add(rule)
 
-    out = spark.createDataFrame(
-        [(s,) for s in sorted(literals)], "suffix string")
+    # Exception parents are SYNTHETIC suffixes: they exist so hosts
+    # UNDER the exception body derive correctly (city.kobe.jp ->
+    # suffix kobe.jp), but per the PSL algorithm the parent string is
+    # not itself a rule — a host EQUAL to the parent must fall through
+    # to the next-longest real rule ('kobe.jp' -> rule 'jp' -> domain
+    # 'kobe.jp'), not self-match to NULL. The self_match=false flag
+    # tells with_registrable_domain to skip the host==suffix case for
+    # these rows only; a parent that IS also a plain literal rule in
+    # the list keeps self_match=true (the real rule wins).
+    rows = [(s, True) for s in sorted(literals)] + [
+        (s, False) for s in sorted(parents - literals)]
+    out = spark.createDataFrame(rows, "suffix string, self_match boolean")
     if wildcards and observed_hosts is None:
         msg = (f"{len(wildcards)} wildcard rule(s) "
                f"({sorted(wildcards)[:3]}...) dropped — pass "
@@ -499,8 +515,11 @@ def load_public_suffixes(
         )
         if vetoes:
             inst = inst.where(~F.col("suffix").isin(*sorted(vetoes)))
-        out = out.unionByName(inst)
-    return out.distinct()
+        out = out.unionByName(inst.withColumn("self_match", F.lit(True)))
+    # a suffix seen both as an exception parent and as a real rule /
+    # wildcard instance keeps self_match=true (any(real) wins)
+    return (out.groupBy("suffix")
+            .agg(F.max("self_match").alias("self_match")))
 
 
 def with_registrable_domain(
@@ -515,10 +534,11 @@ def with_registrable_domain(
     "b.co.uk" and "c.co.uk" are different sites while "a.b.com" and
     "b.com" are the same.
 
-    ``suffixes`` is a one-column (``suffix``) table of LITERAL suffixes
-    only — longest literal match wins. The full Public Suffix List
-    grammar's wildcard (``*.ck``) and exception (``!www.ck``) rules are
-    NOT interpreted here: a raw PSL file load would carry the literal
+    ``suffixes`` is a table of LITERAL suffixes only (column ``suffix``,
+    plus an optional ``self_match`` boolean — absent means all true) —
+    longest literal match wins. The full Public Suffix List grammar's
+    wildcard (``*.ck``) and exception (``!www.ck``) rules are NOT
+    interpreted here: a raw PSL file load would carry the literal
     string ``*.ck``, which matches no host, silently mis-deriving
     registrable domains under wildcard TLDs. Load the real PSL through
     load_public_suffixes, which pre-expands wildcards against your
@@ -561,9 +581,23 @@ def with_registrable_domain(
         "__host", F.explode(cands).alias("__c")
     ).select("__host", F.col("__c.cand").alias("__cand"),
              F.col("__c.cand_len").alias("__cand_len"))
-    sx = broadcast(suffixes.select(F.col("suffix").alias("__cand")).distinct())
+    # optional self_match column (load_public_suffixes emits it):
+    # self_match=false marks synthetic exception-parent suffixes that
+    # must not match a host EQUAL to them — that host falls through to
+    # the next-longest real rule instead of deriving NULL (the PSL
+    # bare-parent case: host 'kobe.jp' under rules {jp, !city.kobe.jp}
+    # is a registrable domain, not a public suffix). A bare one-column
+    # table behaves as before (all suffixes self-match).
+    if "self_match" in suffixes.columns:
+        sx = (suffixes.groupBy(F.col("suffix").alias("__cand"))
+              .agg(F.max("self_match").alias("__self")))
+    else:
+        sx = (suffixes.select(F.col("suffix").alias("__cand")).distinct()
+              .withColumn("__self", F.lit(True)))
+    n_host = F.size(F.split(F.col("__host"), r"\."))
     best = (
-        exploded.join(sx, "__cand")
+        exploded.join(broadcast(sx), "__cand")
+        .where(F.col("__self") | (F.col("__cand_len") < n_host))
         .groupBy("__host")
         .agg(F.max("__cand_len").alias("__best_len"))
     )

@@ -451,7 +451,8 @@ def remove_duplicate_spans(docs: DataFrame, n: int = 8,
                            min_count: int = 2,
                            id_col: str = "doc_id",
                            text_col: str = "text",
-                           out_col: str = "deduped_text") -> DataFrame:
+                           out_col: str = "deduped_text",
+                           checkpoint=None) -> DataFrame:
     """CORPUS-level duplicate-SPAN removal — the Spark-relational analog
     of exact-substring deduplication (Lee et al., "Deduplicating
     Training Data Makes Language Models Better": cut any span that
@@ -488,10 +489,19 @@ def remove_duplicate_spans(docs: DataFrame, n: int = 8,
     combines the viral boilerplate window map-side); the flag join is
     a LEFT SEMI against one row per duplicated key; coverage explodes
     n positions per duplicated window (bounded by n x hits) onto
-    narrow (id, pos) ints. The reassembly legs are NOT token-grain in
-    the corpus: tokenize / anti-join / collect_list run only over the
-    LEFT SEMI of documents against the covered-id set, so their cost
-    scales with the touched fraction, not the corpus. Collision note:
+    narrow (id, pos) ints. The coverage set is MATERIALIZED
+    (operators.materialize — ``checkpoint=`` a Catalog swaps the
+    localCheckpoint for a durable catalog table, the minhash_lsh_pairs
+    contract): three consumers read it (the reassembly anti-join, the
+    touched-id gate, the token-total side table), and without the cut
+    each would re-run the corpus-token window count — measured 2x
+    end-to-end at 10x volume (BENCH/DEDUP_CAPACITY.md). It is the
+    cheapest possible cut point: narrow (id, pos) ints, rows
+    proportional to DUPLICATED positions only, not the corpus. The
+    reassembly legs are NOT token-grain in the corpus: tokenize /
+    anti-join / collect_list run only over the LEFT SEMI of documents
+    against the covered-id set, so their cost scales with the touched
+    fraction, not the corpus. Collision note:
     two DIFFERENT windows colliding in xxhash64 (2^-64 per pair)
     would remove a non-duplicated span — the cost of never shuffling
     window text; swap the key for sha2/md5 where that matters."""
@@ -523,6 +533,9 @@ def remove_duplicate_spans(docs: DataFrame, n: int = 8,
                F.sequence(F.col("__p"), F.col("__p") + (n - 1))
            ).alias("__q"))
            .distinct())
+    from .materialize import materialize
+
+    cov = materialize(cov, checkpoint, "span_coverage")
     # null-safe id joins throughout: a plain equi-join never matches
     # NULL == NULL, which would silently EMPTY every NULL-id row's text
     # in the final join (dedup_lines groups instead of joining and has

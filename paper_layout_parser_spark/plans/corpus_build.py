@@ -61,6 +61,7 @@ def curate_documents(
     host_cap: int | None = None,
     host_col: str | None = None,
     shuffle_salt: str | None = None,
+    checkpoint=None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Curation phase over any (id, text) table: funnel audit ->
     surviving docs -> optional per-host cap -> corpus-level line dedup ->
@@ -74,7 +75,9 @@ def curate_documents(
     miss). Applied AFTER line dedup — lines are the cheaper coarse pass
     — and before splits; ``curated`` then also carries
     ``n_tokens_removed``. Note the operator's whitespace normalization
-    (tokens rejoin single-spaced).
+    (tokens rejoin single-spaced). ``checkpoint=`` (a Catalog) routes to
+    the span-dedup coverage materialization (operators.materialize) —
+    build_training_corpus passes its ``catalog`` through automatically.
 
     ``host_cap=N`` keeps at most N surviving documents per host
     (curation.cap_per_host — the RefinedWeb per-domain guard), applied
@@ -126,7 +129,8 @@ def curate_documents(
         deduped = (
             remove_duplicate_spans(deduped, n=span_ngrams, id_col=id_col,
                                    text_col="clean_text",
-                                   out_col="__span_clean")
+                                   out_col="__span_clean",
+                                   checkpoint=checkpoint)
             .withColumn("clean_text", F.col("__span_clean"))
             .drop("__span_clean")
         )
@@ -209,6 +213,7 @@ def build_training_corpus(
         span_ngrams=span_ngrams,
         split_weights=split_weights, split_salt=split_salt,
         host_cap=host_cap, host_col=host_col, shuffle_salt=shuffle_salt,
+        checkpoint=catalog,
     )
     return CorpusBuildOutputs(
         extracted=extracted, audit=audit, curated=curated, funnel=funnel,

@@ -587,3 +587,68 @@ def clustered_embeddings(spark, n: int, dim: int, n_clusters: int,
             + F.lit(float(noise)) * u(F.xxhash64(F.col("vec_id"), i)),
         ),
     )
+
+
+def span_dedup_oracle_sql(n: int, min_count: int,
+                          docs_table: str = "documents") -> str:
+    """DuckDB oracle for operators.dedup.remove_duplicate_spans — ONE
+    builder shared by the graded registry twin (__spark_entry__) and the
+    pytest twin (tests/test_span_dedup.py), so the two checks can never
+    drift apart (they previously near-duplicated this SQL and the r7
+    gate change had to be applied to both in lockstep).
+
+    Recomputes windows / corpus counts / coverage / reassembly from
+    scratch on the gram STRINGS — independent of the Spark side's
+    xxhash64 window keys, so agreement also proves no hash collision
+    fired. Joins are NULL-safe (``IS NOT DISTINCT FROM`` + an explicit
+    touched flag) to match the operator's eqNullSafe contract: NULL ids
+    form one ordinary group, and a TOUCHED NULL-id document must
+    reassemble on both engines (a plain equi-join or USING join would
+    silently route it to the untouched branch). ``docs_table`` may be a
+    subquery — the graded twin passes the planted-corpus projection.
+    """
+    return f"""
+WITH dw AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS w
+  FROM {docs_table}
+),
+g AS (
+  SELECT doc_id, unnest(range(1, greatest(len(w) - {n} + 2, 1))) AS p, w
+  FROM dw
+),
+gr AS (
+  SELECT doc_id, p,
+         array_to_string(list_slice(w, p, p + {n} - 1), ' ') AS gram
+  FROM g
+),
+dup AS (SELECT gram FROM gr GROUP BY gram HAVING count(*) >= {min_count}),
+cov AS (
+  SELECT DISTINCT doc_id, unnest(range(p, p + {n})) AS q
+  FROM gr WHERE gram IN (SELECT gram FROM dup)
+),
+tok AS (
+  SELECT doc_id, unnest(range(1, len(w) + 1)) AS q, w FROM dw
+),
+kept AS (
+  SELECT t.doc_id, t.q, t.w[t.q] AS word
+  FROM tok t LEFT JOIN cov c
+    ON t.doc_id IS NOT DISTINCT FROM c.doc_id AND t.q = c.q
+  WHERE c.q IS NULL
+),
+clean AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY q) AS deduped,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+touched AS (SELECT DISTINCT doc_id, TRUE AS is_touched FROM cov)
+SELECT dw.doc_id,
+       CASE WHEN coalesce(t.is_touched, FALSE)
+            THEN coalesce(c.deduped, '')
+            ELSE dw.text END AS deduped_text,
+       CASE WHEN coalesce(t.is_touched, FALSE)
+            THEN len(dw.w) - coalesce(c.n_kept, 0)
+            ELSE 0 END AS n_tokens_removed
+FROM dw LEFT JOIN clean c ON dw.doc_id IS NOT DISTINCT FROM c.doc_id
+        LEFT JOIN touched t ON dw.doc_id IS NOT DISTINCT FROM t.doc_id"""

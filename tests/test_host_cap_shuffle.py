@@ -240,6 +240,11 @@ _PSL_VECTORS = [
     ("a.b.test.ck", "b.test.ck"),
     ("www.ck", "www.ck"),
     ("www.www.ck", "www.ck"),
+    # bare-parent case, derived from the PSL algorithm (not in the
+    # published vector file — the r7 review finding): host == the
+    # exception rule's parent matches no real rule except 'jp', so it
+    # is a registrable domain, NOT the synthetic parent suffix
+    ("kobe.jp", "kobe.jp"),
 ]
 
 
@@ -260,11 +265,12 @@ class TestLoadPublicSuffixes:
         )
         sx = load_public_suffixes(spark, text=_PSL_FIXTURE,
                                   observed_hosts=hosts)
-        got = sorted(r["suffix"] for r in sx.collect())
-        # exception parents emitted, exception bodies vetoed from
-        # wildcard expansion, wildcard instances concrete
-        assert got == ["c.kobe.jp", "ck", "com", "jp", "kobe.jp",
-                       "test.ck"]
+        got = {r["suffix"]: r["self_match"] for r in sx.collect()}
+        # exception parents emitted (flagged synthetic: no self-match),
+        # exception bodies vetoed from wildcard expansion, wildcard
+        # instances concrete
+        assert got == {"c.kobe.jp": True, "ck": False, "com": True,
+                       "jp": True, "kobe.jp": False, "test.ck": True}
         out = {r["host"]: r["domain"] for r in
                with_registrable_domain(hosts, sx).collect()}
         assert out == dict(_PSL_VECTORS)

@@ -18,9 +18,11 @@ N = 5
 # a boilerplate sentence planted into every third document — the
 # cross-document duplicated span the operator exists to remove
 PLANT = "please subscribe to our newsletter today for free updates"
+# text IS NOT NULL guard keeps the plant NULL-symmetric across engines
+# (DuckDB concat skips NULL args, Spark concat NULL-propagates)
 SPARK_TEXT = (
-    "CASE WHEN doc_id % 3 = 0 THEN concat(text, ' ', '" + PLANT + "') "
-    "ELSE text END"
+    "CASE WHEN doc_id % 3 = 0 AND text IS NOT NULL "
+    "THEN concat(text, ' ', '" + PLANT + "') ELSE text END"
 )
 
 
@@ -36,54 +38,19 @@ def duck():
     con.sql(f"CREATE VIEW documents_raw AS "
             f"SELECT * FROM '{SF}/documents.parquet'")
     con.sql("CREATE VIEW documents AS SELECT doc_id, "
-            f"CASE WHEN doc_id % 3 = 0 THEN concat(text, ' ', '{PLANT}') "
+            f"CASE WHEN doc_id % 3 = 0 AND text IS NOT NULL "
+            f"THEN concat(text, ' ', '{PLANT}') "
             "ELSE text END AS text FROM documents_raw")
     return con
 
 
 def _oracle_sql(n: int, min_count: int) -> str:
-    return f"""
-WITH d AS (
-  SELECT doc_id, text,
-         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
-                     x -> x <> '') AS w
-  FROM documents
-),
-g AS (
-  SELECT doc_id, unnest(range(1, greatest(len(w) - {n} + 2, 1))) AS p, w
-  FROM d
-),
-gr AS (
-  SELECT doc_id, p, array_to_string(list_slice(w, p, p + {n} - 1), ' ') AS gram
-  FROM g
-),
-dup AS (SELECT gram FROM gr GROUP BY gram HAVING count(*) >= {min_count}),
-cov AS (
-  SELECT DISTINCT doc_id, unnest(range(p, p + {n})) AS q
-  FROM gr WHERE gram IN (SELECT gram FROM dup)
-),
-tok AS (
-  SELECT doc_id, unnest(range(1, len(w) + 1)) AS q, w FROM d
-),
-kept AS (
-  SELECT t.doc_id, t.q, t.w[t.q] AS word
-  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.q = c.q
-  WHERE c.q IS NULL
-),
-clean AS (
-  SELECT doc_id, string_agg(word, ' ' ORDER BY q) AS deduped,
-         count(*) AS n_kept
-  FROM kept GROUP BY doc_id
-),
-touched AS (SELECT DISTINCT doc_id FROM cov)
-SELECT d.doc_id,
-       CASE WHEN t.doc_id IS NOT NULL THEN coalesce(c.deduped, '')
-            ELSE d.text END AS deduped_text,
-       CASE WHEN t.doc_id IS NOT NULL
-            THEN len(d.w) - coalesce(c.n_kept, 0)
-            ELSE 0 END AS n_tokens_removed
-FROM d LEFT JOIN clean c USING (doc_id)
-       LEFT JOIN touched t USING (doc_id)"""
+    # shared builder — the graded registry twin (__spark_entry__) uses
+    # the same one, so the two DuckDB checks cannot drift (both are
+    # DuckDB-side; Spark/oracle independence is unaffected)
+    from paper_layout_parser_spark.synthdata import span_dedup_oracle_sql
+
+    return span_dedup_oracle_sql(n, min_count, docs_table="documents")
 
 
 class TestRemoveDuplicateSpans:
@@ -206,3 +173,27 @@ def test_curate_documents_span_ngrams(spark):
     solo = {r["url"]: r for r in got if "standalone" in r["clean_text"]}
     assert len(solo) == 4 and all(
         r["n_tokens_removed"] == 0 for r in solo.values())
+
+
+def test_null_id_touched_doc_matches_oracle(spark):
+    """A NULL-id document that CONTAINS a duplicated span must
+    reassemble on BOTH engines (r7 review finding: the oracle formerly
+    joined touched/clean USING (doc_id), which never matches NULL, so
+    it silently routed touched NULL-id docs to the untouched branch
+    while the operator's eqNullSafe joins reassembled them)."""
+    import duckdb as _dd
+
+    rows = [(1, "shared boilerplate sentence repeated across documents one"),
+            (None, "shared boilerplate sentence repeated across documents two"),
+            (3, "completely different unique content in this third row")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["deduped_text"], r["n_tokens_removed"])
+           for r in remove_duplicate_spans(df, n=5).collect()}
+    con = _dd.connect()
+    con.sql("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {r[0]: (r[1], r[2])
+            for r in con.sql(_oracle_sql(5, 2)).fetchall()}
+    assert got == want
+    # and the NULL-id doc really was touched (non-vacuous)
+    assert got[None][1] > 0
