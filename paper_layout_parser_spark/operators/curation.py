@@ -589,15 +589,18 @@ def with_registrable_domain(
     # is a registrable domain, not a public suffix). A bare one-column
     # table behaves as before (all suffixes self-match).
     if "self_match" in suffixes.columns:
+        # NULL self_match degrades to the documented default (true) —
+        # F.max alone would skip NULLs and a NULL-only suffix would
+        # silently stop self-matching
         sx = (suffixes.groupBy(F.col("suffix").alias("__cand"))
-              .agg(F.max("self_match").alias("__self")))
+              .agg(F.max(F.coalesce("self_match", F.lit(True)))
+                   .alias("__self")))
     else:
         sx = (suffixes.select(F.col("suffix").alias("__cand")).distinct()
               .withColumn("__self", F.lit(True)))
-    n_host = F.size(F.split(F.col("__host"), r"\."))
     best = (
         exploded.join(broadcast(sx), "__cand")
-        .where(F.col("__self") | (F.col("__cand_len") < n_host))
+        .where(F.col("__self") | (F.col("__cand_len") < n_h))
         .groupBy("__host")
         .agg(F.max("__cand_len").alias("__best_len"))
     )

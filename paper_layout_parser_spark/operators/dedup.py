@@ -494,8 +494,10 @@ def remove_duplicate_spans(docs: DataFrame, n: int = 8,
     localCheckpoint for a durable catalog table, the minhash_lsh_pairs
     contract): three consumers read it (the reassembly anti-join, the
     touched-id gate, the token-total side table), and without the cut
-    each would re-run the corpus-token window count — measured 2x
-    end-to-end at 10x volume (BENCH/DEDUP_CAPACITY.md). It is the
+    each would re-run the corpus-token window count — measured ~1.7x
+    end-to-end at 10x volume (14.68 s unmaterialized vs 8.82 s for the
+    pre-gate operator; 9.66 s with this cut — docs/PLANS.md has the
+    full comparison). It is the
     cheapest possible cut point: narrow (id, pos) ints, rows
     proportional to DUPLICATED positions only, not the corpus. The
     reassembly legs are NOT token-grain in the corpus: tokenize /

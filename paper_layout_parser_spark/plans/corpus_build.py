@@ -76,8 +76,15 @@ def curate_documents(
     — and before splits; ``curated`` then also carries
     ``n_tokens_removed``. Note the operator's whitespace normalization
     (tokens rejoin single-spaced). ``checkpoint=`` (a Catalog) routes to
-    the span-dedup coverage materialization (operators.materialize) —
-    build_training_corpus passes its ``catalog`` through automatically.
+    the span-dedup coverage materialization (operators.materialize);
+    the default (None -> lazy localCheckpoint) is deliberate even when
+    build_training_corpus has a catalog: a catalog write is EAGER, so
+    wiring it through would run the whole window-count lineage at
+    plan-construction time (billed to whichever phase constructs the
+    plan — it would corrupt the bench's extract/curate attribution) and
+    charge callers who never consume ``curated``. Deployments that need
+    the coverage cut durable against executor loss call this function
+    directly with ``checkpoint=``.
 
     ``host_cap=N`` keeps at most N surviving documents per host
     (curation.cap_per_host — the RefinedWeb per-domain guard), applied
@@ -213,7 +220,6 @@ def build_training_corpus(
         span_ngrams=span_ngrams,
         split_weights=split_weights, split_salt=split_salt,
         host_cap=host_cap, host_col=host_col, shuffle_salt=shuffle_salt,
-        checkpoint=catalog,
     )
     return CorpusBuildOutputs(
         extracted=extracted, audit=audit, curated=curated, funnel=funnel,

@@ -308,3 +308,23 @@ class TestLoadPublicSuffixes:
         p.write_text("com\norg\n// c\n", encoding="utf-8")
         sx = load_public_suffixes(spark, path=str(p))
         assert sorted(r["suffix"] for r in sx.collect()) == ["com", "org"]
+
+
+def test_null_self_match_defaults_true(spark):
+    """A caller-supplied suffix table with NULL self_match rows (outer
+    joins, CSV loads) must behave like the documented default (true):
+    host == suffix still self-matches to a NULL domain rather than
+    silently falling through to a shorter rule (r7 second-pass review
+    finding — F.max alone skips NULLs)."""
+    from paper_layout_parser_spark.operators.curation import (
+        with_registrable_domain,
+    )
+    sx = spark.createDataFrame(
+        [("co.uk", None), ("uk", True)],
+        "suffix string, self_match boolean",
+    )
+    hosts = spark.createDataFrame(
+        [(1, "co.uk"), (2, "a.co.uk")], "id long, host string")
+    out = {r["host"]: r["domain"]
+           for r in with_registrable_domain(hosts, sx).collect()}
+    assert out == {"co.uk": None, "a.co.uk": "a.co.uk"}
