@@ -152,3 +152,34 @@ class TestIvfClusteredRecall:
                  for a in by_cluster for b in by_cluster if a < b]
         assert min(within) > 0.9, min(within)
         assert max(cross) < 0.5, max(cross)
+
+    def test_lsh_topk_recall_floor_on_clustered(self, spark):
+        """Same gap the IVF floor closed, for the SRP-LSH path: nothing
+        pinned that banding actually retrieves true neighbors (the
+        subset-semantics test only checks rank well-formedness). On the
+        planted-cluster fixture same-cluster vectors agree on most SRP
+        bits, so band collisions are near-certain and recall must be
+        high; a broken signature/banding would drop it to ~0."""
+        from paper_layout_parser_spark.operators.similarity import (
+            brute_force_topk,
+            lsh_topk,
+        )
+
+        corpus, heldout = self._fixture(spark)
+        heldout.unpersist()   # this test queries corpus members instead
+        queries = corpus.where(F.col("vec_id") % 250 == 0)   # 8 members
+        k = 5
+        # exact truth EXCLUDING the self-match (lsh_topk's contract
+        # filters q_id != c_id): top-(k+1) minus self, trimmed to k
+        bf = (brute_force_topk(corpus, queries, k=k + 1)
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .collect())
+        by_q = {}
+        for r in sorted(bf, key=lambda r: (r["query_id"], r["rank"])):
+            by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        truth = {(q, n) for q, ns in by_q.items() for n in ns[:k]}
+        got = {(r["query_id"], r["neighbor_id"])
+               for r in lsh_topk(corpus, queries, k=k, dim=32).collect()}
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.8, f"LSH recall {recall:.3f}"
+        corpus.unpersist()
