@@ -183,3 +183,25 @@ class TestIvfClusteredRecall:
         recall = len(got & truth) / len(truth)
         assert recall >= 0.8, f"LSH recall {recall:.3f}"
         corpus.unpersist()
+
+
+class TestSpanDedupCoverageCut:
+    def test_window_lineage_cut_out_of_output_plan(self, spark):
+        """The coverage materialization contract (r7 review fix): the
+        corpus-token window-count lineage (xxhash64 window keys ->
+        corpus count -> coverage explode) must be computed ONCE behind
+        the materialize() cut, not re-inlined into each of its three
+        consumers — the unmaterialized gate re-ran it 3x and measured
+        ~1.7x slower than no gate at all (docs/PLANS.md). The returned
+        plan therefore contains ZERO xxhash64 nodes: every consumer
+        reads the checkpointed coverage RDD instead."""
+        from paper_layout_parser_spark.operators.dedup import (
+            remove_duplicate_spans,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"w{i} a b c d e f g h") for i in range(6)],
+            "doc_id long, text string")
+        plan = (remove_duplicate_spans(df, n=5)
+                ._jdf.queryExecution().optimizedPlan().toString())
+        assert plan.count("xxhash64") == 0, plan[:1200]
