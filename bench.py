@@ -96,19 +96,211 @@ def _ivf_sweep(emb, queries, cents, idx, truth, nprobes,
 
 
 def _replace_section(path: str, marker: str, section: str) -> None:
-    """Replace-or-append a report section: everything from `marker` on
-    is cut and `section` is appended (the CORPUS_BUILD/ANN_CAPACITY
-    append pattern, shared so the splice logic cannot drift)."""
+    """Replace-or-append one report section in place: the span from
+    `marker` to the NEXT line-anchored `## ` heading (or EOF) is
+    swapped for `section`; absent marker appends. Two hardenings from
+    r7 ADVICE: the marker match is LINE-ANCHORED (a report that QUOTES
+    the marker string mid-prose cannot have its tail destroyed), and
+    the replace is SECTION-SCOPED (sections appended later in the file
+    by other bench modes survive a re-run of this one)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     text = ""
     if os.path.exists(path):
         with open(path) as f:
             text = f.read()
-        cut = text.find(marker)
-        if cut != -1:
-            text = text[:cut]
+    pos = _find_line_anchored(text, marker)
+    if pos == -1:
+        head, tail = text, ""
+    else:
+        line_end = text.find("\n", pos)
+        nxt = text.find("\n## ", line_end) if line_end != -1 else -1
+        head = text[:pos]
+        tail = text[nxt + 1:] if nxt != -1 else ""
+    parts = [p for p in (head.strip("\n"), section.strip("\n"),
+                         tail.strip("\n")) if p]
     with open(path, "w") as f:
-        f.write(text.rstrip("\n") + "\n\n" + section.lstrip("\n"))
+        f.write("\n\n".join(parts) + "\n")
+
+
+def _find_line_anchored(text: str, marker: str) -> int:
+    """Index of `marker` in `text` where it begins a line (or the file),
+    -1 if absent. Leading newlines on the marker are normalized away so
+    legacy '\\n## ...' markers anchor identically."""
+    m = marker.lstrip("\n")
+    pos = ("\n" + text).find("\n" + m)
+    return pos  # ('\n'+text) offsets by 1, the matched '\n' offsets by -1
+
+
+def _rewrite_preserving(path: str, content: str,
+                        preserve_markers: list[str]) -> None:
+    """Fully rewrite a report file but re-splice trailing sections owned
+    by OTHER bench modes (line-anchored markers, kept in file order) —
+    so --ann-capacity cannot clobber --ivf-recall's appended
+    '## Clustered-corpus recall' section, and --corpus-build cannot
+    clobber --corpus-scaling's '## N -> 4N scaling' section."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    old = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            old = f.read()
+    found = sorted(
+        (p, m) for m, p in
+        ((m, _find_line_anchored(old, m)) for m in preserve_markers)
+        if p != -1
+    )
+    parts = [content.rstrip("\n")]
+    for i, (p, _m) in enumerate(found):
+        end = found[i + 1][0] if i + 1 < len(found) else len(old)
+        parts.append(old[p:end].strip("\n"))
+    with open(path, "w") as f:
+        f.write("\n\n".join(parts) + "\n")
+
+
+# --- host-speed calibration anchor (r8) ---------------------------------
+# The box this bench runs on drifts (r7 recorded the same code at 23.4 s
+# and 30.8 s across a night; three same-code scaling samples spanned
+# 0.69-1.17). A fixed single-threaded CPU microbenchmark — the SAME
+# cache-resident float math as the rasterize render kernel, at a pinned
+# shape and pass count — rides in every BENCH_r*.json so a cross-round
+# delta can be read against measured host speed instead of adjudicated
+# by git archaeology: if calibration slowed 25% and doc_text slowed 25%,
+# that is the box, not the code.
+_CALIB_SHAPE = (512, 512)
+_CALIB_PASSES = 600
+# the anchor's wall on the box that recorded it (r8, 2026-08-18, idle):
+# the ledger's 'calibrated pages/sec' = raw pages/sec x (calib / ref),
+# i.e. throughput normalized to this reference box speed. Rounds with
+# no calibration sample show raw throughput only.
+_CALIB_REF_S = 0.339
+
+
+def _calibration_kernel_once(passes: int = _CALIB_PASSES) -> float:
+    """One timed run of the calibration kernel (seconds). Mirrors
+    operators.rasterize._render_page's smoothing/compositing passes on
+    an L2-resident float32 buffer — numpy elementwise ops, single
+    thread, no Spark, no allocation inside the loop — so it tracks the
+    exact compute profile the render-bound headline query stresses."""
+    import numpy as np
+
+    img = np.full(_CALIB_SHAPE, 0.5, dtype=np.float32)
+    t0 = time.monotonic()
+    for _ in range(passes):
+        img[1:, :] += img[:-1, :]
+        img[:, 1:] += img[:, :-1]
+        img *= 0.25
+        np.sqrt(img, out=img)
+    return time.monotonic() - t0
+
+
+def _calibrate(runs: int = 3, passes: int = _CALIB_PASSES) -> dict:
+    """Best-of-N calibration sample: min is the box's attainable
+    single-thread speed (contention only ever adds time)."""
+    walls = [_calibration_kernel_once(passes) for _ in range(runs)]
+    return {
+        "kernel": (f"render-kernel {_CALIB_SHAPE[0]}x{_CALIB_SHAPE[1]} "
+                   f"float32 x{passes} passes, single-threaded"),
+        "runs_s": [round(w, 4) for w in walls],
+        "best_s": round(min(walls), 4),
+    }
+
+
+def _band_verdict(delta: float, band: float) -> str:
+    return ("noise" if abs(delta) <= band
+            else "regression" if delta > 0 else "improvement")
+
+
+def _delta_verdict(cur: float, prev: float, band: float,
+                   host_ratio: float | None = None) -> dict:
+    """Per-query cross-round delta with BOTH the raw verdict and (when
+    both rounds carry a calibration anchor) the calibration-normalized
+    one. host_ratio = calib_cur / calib_prev (>1 = this round's box is
+    measurably slower); the normalized wall cur/host_ratio asks 'what
+    would this query have cost on last round's box', so a pure host
+    slowdown normalizes back inside the band while a code regression
+    survives normalization. Pure arithmetic — pytested directly
+    (tests/test_bench_protocol.py)."""
+    delta = (cur - prev) / prev
+    out = {"prev": prev, "cur": cur,
+           "delta_pct": round(100 * delta, 1),
+           "band_pct": round(100 * band, 1),
+           "verdict": _band_verdict(delta, band)}
+    if host_ratio is not None and host_ratio > 0:
+        cur_norm = cur / host_ratio
+        delta_norm = (cur_norm - prev) / prev
+        out["host_ratio"] = round(host_ratio, 3)
+        out["cur_norm"] = round(cur_norm, 3)
+        out["delta_norm_pct"] = round(100 * delta_norm, 1)
+        out["verdict_norm"] = _band_verdict(delta_norm, band)
+    return out
+
+
+def _effective_verdict(v: dict) -> str:
+    """The adjudicated per-query verdict: calibration-normalized when
+    available, else raw."""
+    return v.get("verdict_norm", v["verdict"])
+
+
+def _calibrated_pps(pages_per_sec: float, calib_s: float | None) -> float | None:
+    """Raw pages/sec normalized to the _CALIB_REF_S reference box: a box
+    running the anchor kernel 20% slower gets its throughput scaled UP
+    20%, so the ledger column tracks engine speed, not host weather."""
+    if not calib_s:
+        return None
+    return round(pages_per_sec * (calib_s / _CALIB_REF_S), 1)
+
+
+def _update_doc_text_ledger(doc_text_s: float, n_pages: int,
+                            pages_per_sec: float, calib_s: float) -> None:
+    """Regenerate the per-round doc_text throughput ledger in
+    BENCH/README.md from every recorded BENCH_r*.json plus the current
+    (not-yet-recorded) run — the headline query has drifted
+    12.3 -> 16.4 -> 14.1 -> 18.9 s across rounds on a shared box with no
+    retroactive way to split engine drift from host drift; the
+    calibrated column is that split, from r8 on."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rows = []
+    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
+                    key=lambda p: int(re.search(r"_r(\d+)", p).group(1))):
+        n = int(re.search(r"_r(\d+)", p).group(1))
+        try:
+            with open(p) as f:
+                parsed = json.load(f).get("parsed") or {}
+        except (json.JSONDecodeError, OSError):
+            continue
+        q = parsed.get("queries", {})
+        if "doc_text" not in q:
+            continue
+        rows.append((n, q["doc_text"], parsed.get("n_pages"),
+                     parsed.get("pages_per_sec"),
+                     (parsed.get("calibration") or {}).get("best_s")))
+    cur_round = (rows[-1][0] + 1) if rows else 1
+    rows.append((cur_round, doc_text_s, n_pages, pages_per_sec, calib_s))
+    lines = [
+        "## doc_text throughput ledger (per round)",
+        "",
+        "The headline render-bound query, one line per round "
+        "(back-filled from BENCH_r*.json). `calib` is the single-thread "
+        f"anchor kernel's best wall (reference box = {_CALIB_REF_S} s); "
+        "**calibrated pages/sec = raw x calib/ref** — constant "
+        "calibrated throughput across rounds means host drift, a drop "
+        "means the engine. Rounds before r8 predate the anchor and "
+        "show raw throughput only.",
+        "",
+        "| round | doc_text best (s) | pages | raw pages/sec | "
+        "calib (s) | calibrated pages/sec |",
+        "|---|---|---|---|---|---|",
+    ]
+    for n, dt, np_, pps, cs in rows:
+        cpps = _calibrated_pps(pps, cs) if pps else None
+        lines.append(
+            f"| r{n} | {dt:.2f} | {np_ or '?'} | {pps or '?'} | "
+            f"{f'{cs:.3f}' if cs else '—'} | "
+            f"{cpps if cpps is not None else '—'} |")
+    _replace_section(os.path.join(here, "BENCH", "README.md"),
+                     "## doc_text throughput ledger", "\n".join(lines) + "\n")
 
 
 def run_extraction(spark, pages_path: str) -> dict:
@@ -228,16 +420,9 @@ def run_trainingdata(spark, sf_dir: str, rotate: int = 0) -> dict:
     return timings
 
 
-def _vs_prev_round(queries: dict, spread: dict) -> dict:
-    """Per-query best-of-N delta against the newest BENCH_r*.json with a
-    variance verdict, so a cross-round regression is a computed fact
-    instead of an argument (r4's +6% suite drift was 'inside the ±20% box
-    variance' only by prose). Verdict per query: 'noise' when |delta| sits
-    inside the noise band — the larger of this round's measured
-    min->max spread for that query and the documented 20% box variance
-    (50% for sub-second queries, which are scheduling-overhead-dominated)
-    — else 'regression'/'improvement'. Flagged regressions are then
-    re-timed in isolation (_recheck_regressions)."""
+def _prev_bench() -> tuple[str | None, dict]:
+    """Newest BENCH_r*.json (the driver wraps our JSON line under
+    'parsed'), unwrapped; (None, {}) when no prior round exists."""
     import glob
     import re
 
@@ -247,53 +432,107 @@ def _vs_prev_round(queries: dict, spread: dict) -> dict:
         key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
     )
     if not benches:
-        return {}
+        return None, {}
     with open(benches[-1]) as f:
         prev = json.load(f)
-    # the driver's BENCH_r{N}.json wraps our JSON line under "parsed"
-    prev_q = prev.get("parsed", prev).get("queries", {})
-    out = {"prev_round": os.path.basename(benches[-1]), "queries": {}}
+    return os.path.basename(benches[-1]), prev.get("parsed", prev)
+
+
+def _vs_prev_round(queries: dict, spread: dict,
+                   calibration: dict | None = None) -> dict:
+    """Per-query best-of-N delta against the newest BENCH_r*.json with a
+    variance verdict, so a cross-round regression is a computed fact
+    instead of an argument (r4's +6% suite drift was 'inside the ±20% box
+    variance' only by prose). Verdict per query: 'noise' when |delta| sits
+    inside the noise band — the larger of this round's measured
+    min->max spread for that query and the documented 20% box variance
+    (50% for sub-second queries, which are scheduling-overhead-dominated)
+    — else 'regression'/'improvement'. When BOTH rounds carry the
+    calibration anchor, each query also gets a calibration-NORMALIZED
+    delta + verdict (host drift divided out — r7's three false
+    regression flags on untouched code needed a judge re-run to
+    dismiss). Flagged regressions are then re-timed in isolation
+    (_recheck_regressions) so every out-of-band delta ships with either
+    a normalized verdict or a recheck row."""
+    prev_name, prev = _prev_bench()
+    if prev_name is None:
+        return {}
+    prev_q = prev.get("queries", {})
+    prev_calib = (prev.get("calibration") or {}).get("best_s")
+    cur_calib = (calibration or {}).get("best_s")
+    host_ratio = (cur_calib / prev_calib
+                  if prev_calib and cur_calib else None)
+    out = {"prev_round": prev_name, "queries": {}}
+    if host_ratio is not None:
+        out["host_ratio"] = round(host_ratio, 3)
+    else:
+        out["calibration_note"] = (
+            "prev round has no calibration anchor — normalized verdicts "
+            "start next round; out-of-band deltas rely on the recheck rows"
+        )
     for k, cur in queries.items():
         if k not in prev_q or not prev_q[k]:
             continue
-        delta = (cur - prev_q[k]) / prev_q[k]
         # sub-second jobs are scheduling-overhead-dominated: a 100 ms
         # swing is 25% of a 0.4 s query, so the noise floor is wider
         floor = 0.20 if prev_q[k] >= 1.0 else 0.50
         band = max(floor, spread.get(k, 0.0))
-        verdict = ("noise" if abs(delta) <= band
-                   else "regression" if delta > 0 else "improvement")
-        out["queries"][k] = {"prev": prev_q[k], "cur": cur,
-                             "delta_pct": round(100 * delta, 1),
-                             "band_pct": round(100 * band, 1),
-                             "verdict": verdict}
+        out["queries"][k] = _delta_verdict(cur, prev_q[k], band, host_ratio)
     deltas = [v["delta_pct"] for v in out["queries"].values()]
     if deltas:
         prev_total = sum(prev_q[k] for k in out["queries"])
         cur_total = sum(queries[k] for k in out["queries"])
         out["total_delta_pct"] = round(
             100 * (cur_total - prev_total) / prev_total, 1)
+        if host_ratio:
+            out["total_delta_norm_pct"] = round(
+                100 * (cur_total / host_ratio - prev_total) / prev_total, 1)
     return out
 
 
-# queries recheck-able in isolation (fresh session, no composite-run
-# interference); the pipeline trio needs the whole extraction and is
-# excluded — its doc_text anchor has the tightest spread anyway
+# queries recheck-able alone in a fresh session (no composite-run
+# interference); the pipeline trio shares one extraction re-run
 _TD_QUERIES = ("dedup_jaccard", "ann_topk", "quality", "fingerprint",
                "dedup_minhash_lsh")
+_PIPELINE_QUERIES = {"doc_text": "t_doc_text",
+                     "caption_match": "t_caption_match",
+                     "eval_summary": "t_eval"}
 
 
-def _recheck_regressions(vs_prev: dict) -> None:
-    """For every query the delta block flagged as a regression, re-time it
-    ALONE in a fresh session (warmup + best-of-2) and re-verdict: a
-    composite suite run inherits whatever heap/GC/neighbor state the
-    preceding queries left, so a flagged regression is only attributable
-    to code once it reproduces in isolation. Mutates vs_prev in place
-    (adds 'recheck_s'; verdict becomes 'noise-on-recheck' if the isolated
-    time falls back inside the band)."""
-    flagged = [k for k, v in (vs_prev.get("queries") or {}).items()
-               if v["verdict"] == "regression" and k in _TD_QUERIES]
-    if not flagged:
+def _apply_recheck(v: dict, recheck_s: float) -> None:
+    """Re-verdict one flagged query from its isolated re-timing (pure
+    arithmetic, pytested): the recheck wall is calibration-normalized
+    when the delta row carries a host_ratio, then re-banded.
+    verdict_final lands 'noise-on-recheck' when the isolated time falls
+    back inside the band, 'regression-confirmed' when it reproduces."""
+    v["recheck_s"] = round(recheck_s, 3)
+    norm = recheck_s / v.get("host_ratio", 1.0)
+    delta = (norm - v["prev"]) / v["prev"]
+    v["verdict_final"] = ("noise-on-recheck"
+                          if abs(delta) * 100 <= v["band_pct"]
+                          else "regression-confirmed")
+
+
+def _recheck_regressions(vs_prev: dict, pages_path: str | None = None) -> None:
+    """For every query still flagged 'regression' after calibration
+    normalization, re-time it ALONE in a fresh session (deep warmup +
+    best-of-N) and re-verdict: a composite suite run inherits whatever
+    heap/GC/neighbor state the preceding queries left, so a flagged
+    regression is only attributable to code once it reproduces in
+    isolation. Training-data queries re-run individually; the pipeline
+    trio (doc_text / caption_match / eval_summary) shares ONE warmed
+    extraction re-run over `pages_path` — r7's three false flags were
+    exactly these, and the old recheck skipped them. Mutates vs_prev in
+    place: every query gets 'verdict_final' (the adjudicated field —
+    normalized verdict, or the recheck outcome when one ran)."""
+    queries = vs_prev.get("queries") or {}
+    for v in queries.values():
+        v["verdict_final"] = _effective_verdict(v)
+    flagged = [k for k, v in queries.items()
+               if v["verdict_final"] == "regression"]
+    td = [k for k in flagged if k in _TD_QUERIES]
+    pipe = [k for k in flagged if k in _PIPELINE_QUERIES]
+    if not td and not pipe:
         return
     import __spark_entry__ as e
     from paper_layout_parser_spark.operators import dedup as dd
@@ -318,16 +557,21 @@ def _recheck_regressions(vs_prev: dict) -> None:
             best = min(best, time.monotonic() - t)
         return best
 
-    for name in flagged:
-        v = vs_prev["queries"][name]
-        v["recheck_s"] = round(run_one(name), 3)
-        delta = (v["recheck_s"] - v["prev"]) / v["prev"]
-        if abs(delta) * 100 <= v["band_pct"]:
-            v["verdict"] = "noise-on-recheck"
+    for name in td:
+        _apply_recheck(vs_prev["queries"][name], run_one(name))
+    if pipe and pages_path is not None:
+        # one warmed extraction, best-of-2 per stage, covers the trio
+        run_extraction(spark, materialize_pages(spark, "/root/testdata/sf0.001"))
+        exts = [run_extraction(spark, pages_path) for _ in range(2)]
+        for name in pipe:
+            key = _PIPELINE_QUERIES[name]
+            _apply_recheck(vs_prev["queries"][name],
+                           min(x[key] for x in exts))
     spark.stop()
 
 
 def default_mode() -> None:
+    calib_pre = _calibrate()
     spark = _fresh_spark(CPUS)
     # warm-up at the smallest SF so JVM/JIT + python-worker spawn don't
     # dominate the measured run
@@ -372,8 +616,23 @@ def default_mode() -> None:
     ]
     ext = ext_runs[0]
     best_doc_text = queries["doc_text"]
-    vs_prev = _vs_prev_round(queries, spread)
-    _recheck_regressions(vs_prev)
+    # post-run calibration sample: contention that arrived DURING the
+    # bench shows up here; min(pre, post) is the box's attainable speed
+    calib_post = _calibrate()
+    calibration = {
+        "kernel": calib_pre["kernel"] + ", best-of-3 pre + post",
+        "pre_s": calib_pre["best_s"],
+        "post_s": calib_post["best_s"],
+        "best_s": min(calib_pre["best_s"], calib_post["best_s"]),
+    }
+    vs_prev = _vs_prev_round(queries, spread, calibration)
+    _recheck_regressions(vs_prev, pages_path)
+    pages_per_sec = round(ext["n_pages"] / best_doc_text, 1)
+    if _sf_of(SF_DIR) == 0.1:
+        # ledger rows are only comparable at the driver's canonical SF —
+        # a smoke run at sf0.001 must not write a bogus round line
+        _update_doc_text_ledger(best_doc_text, ext["n_pages"],
+                                pages_per_sec, calibration["best_s"])
     print(json.dumps({
         "metric": ("layout-extraction + training-data ops, best-of-"
                    f"{runs} per-query wall time, summed"),
@@ -384,12 +643,13 @@ def default_mode() -> None:
         "runs": runs,
         "run_totals": run_totals,
         "spread": spread,
+        "calibration": calibration,
         "vs_prev_round": vs_prev,
         "sf": _sf_of(SF_DIR),
         "cpus": CPUS,
         "n_docs": ext["n_docs"],
         "n_pages": ext["n_pages"],
-        "pages_per_sec": round(ext["n_pages"] / best_doc_text, 1),
+        "pages_per_sec": pages_per_sec,
         "docs_per_sec": round(ext["n_docs"] / best_doc_text, 1),
     }))
 
@@ -675,8 +935,9 @@ def ann_capacity_mode() -> None:
     train_ratio = r1024["t_train"] / r256["t_train"]
     assign_ratio = r1024["t_arrow"] / r256["t_arrow"]
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/ANN_CAPACITY.md", "w") as f:
-        f.write(f"""# BENCH — IVF at realistic width (local[{CPUS}])
+    # full rewrite of THIS mode's content, but --ivf-recall appends its
+    # own section to the same file — re-splice it (ADVICE r7)
+    _rewrite_preserving("BENCH/ANN_CAPACITY.md", f"""# BENCH — IVF at realistic width (local[{CPUS}])
 
 {n_vecs:,} synthetic embeddings, dim={dim}, sample_fraction=
 {sample_fraction} ({int(n_vecs * sample_fraction):,} training vectors),
@@ -751,7 +1012,7 @@ limit; the scaled-integer sums (IVF_MEAN_SCALE=2^24) keep the means
 bit-deterministic across partitionings. The assignment plan remains the
 broadcast centroid table (O(1) expression size in C, plan-tested at
 C=256 in tests/test_round5_hardening.py).
-""")
+""", preserve_markers=["## Clustered-corpus recall"])
     print(json.dumps({"train_ratio_4xC": round(train_ratio, 2),
                       "assign_ratio_4xC": round(assign_ratio, 2),
                       "arrow_vs_native": round(
@@ -999,8 +1260,9 @@ def corpus_build_mode() -> None:
         n_in = out.extracted.count()
         total = t_extract + t_curate
         os.makedirs("BENCH", exist_ok=True)
-        with open("BENCH/CORPUS_BUILD.md", "w") as f:
-            f.write(f"""# BENCH — composed corpus build (local[{CPUS}], {SF_DIR})
+        # --corpus-scaling and --curate-scaling append their own sections
+        # to this file — a full rewrite must re-splice them (ADVICE r7)
+        _rewrite_preserving("BENCH/CORPUS_BUILD.md", f"""# BENCH — composed corpus build (local[{CPUS}], {SF_DIR})
 
 `build_training_corpus` end-to-end as one job: pages -> extraction
 pipeline -> catalog checkpoint (per-partition lineage) -> curation
@@ -1020,7 +1282,8 @@ Composition audit (from the executed curation plan):
   (one per curation consumer: audit join, kept join, line-dedup pass)
 - scans of the raw pages source in the curation plan: **{pages_scans}**
   (must be 0 — the checkpoint is the phase boundary)
-""")
+""", preserve_markers=["## N -> 4N scaling of the composed build",
+                       "## Curation-phase scaling"])
         if udf_nodes or pages_scans:
             print(f"COMPOSITION VIOLATION: udf={udf_nodes} "
                   f"pages_scans={pages_scans}", file=sys.stderr)

@@ -1,0 +1,192 @@
+"""Bench-protocol arithmetic (r8: the self-adjudication layer).
+
+r7's artifact flagged three regressions on code that did not change;
+dismissing them took a manual re-run plus git archaeology. These tests
+pin the machinery that makes the artifact self-adjudicating: the
+calibration anchor, the calibration-normalized delta verdicts, the
+recheck re-verdict arithmetic, and the report-section splicing that
+keeps bench modes from destroying each other's output. All pure
+Python — no SparkSession."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+
+# --- calibration anchor -------------------------------------------------
+
+def test_calibrate_shape_and_positivity():
+    c = bench._calibrate(runs=2, passes=20)
+    assert c["best_s"] > 0
+    assert len(c["runs_s"]) == 2
+    assert c["best_s"] == min(c["runs_s"])
+    assert "single-threaded" in c["kernel"]
+
+
+def test_calibration_kernel_scales_with_passes():
+    # 10x the passes must cost measurably more wall — the anchor times
+    # real work, not setup
+    lo = min(bench._calibration_kernel_once(10) for _ in range(3))
+    hi = min(bench._calibration_kernel_once(100) for _ in range(3))
+    assert hi > 3 * lo
+
+
+def test_calibrated_pps_normalizes_to_reference_box():
+    # a box 25% slower on the anchor gets its raw throughput scaled UP
+    ref = bench._CALIB_REF_S
+    assert bench._calibrated_pps(1000.0, ref) == 1000.0
+    assert bench._calibrated_pps(800.0, ref * 1.25) == 1000.0
+    assert bench._calibrated_pps(1000.0, None) is None
+
+
+# --- delta verdicts -----------------------------------------------------
+
+def test_delta_verdict_raw_bands():
+    v = bench._delta_verdict(cur=13.0, prev=10.0, band=0.20)
+    assert v["verdict"] == "regression" and v["delta_pct"] == 30.0
+    assert bench._delta_verdict(11.5, 10.0, 0.20)["verdict"] == "noise"
+    assert bench._delta_verdict(7.0, 10.0, 0.20)["verdict"] == "improvement"
+    # no host_ratio -> no normalized fields, effective falls back to raw
+    assert "verdict_norm" not in v
+    assert bench._effective_verdict(v) == "regression"
+
+
+def test_delta_verdict_host_drift_normalizes_to_noise():
+    # the r7 case: +30% wall on untouched code, box 28% slower on the
+    # anchor -> normalized delta ~+1.6%, inside the band
+    v = bench._delta_verdict(cur=13.0, prev=10.0, band=0.20, host_ratio=1.28)
+    assert v["verdict"] == "regression"          # raw stays honest
+    assert v["verdict_norm"] == "noise"          # adjudicated
+    assert bench._effective_verdict(v) == "noise"
+    assert v["cur_norm"] == pytest.approx(13.0 / 1.28, abs=1e-3)
+
+
+def test_delta_verdict_code_regression_survives_normalization():
+    # +80% wall on a box only 10% slower: still a regression after
+    # dividing out host speed
+    v = bench._delta_verdict(cur=18.0, prev=10.0, band=0.20, host_ratio=1.10)
+    assert v["verdict_norm"] == "regression"
+    # and a FASTER box can unmask a regression raw bands would hide
+    v2 = bench._delta_verdict(cur=11.0, prev=10.0, band=0.20, host_ratio=0.70)
+    assert v2["verdict"] == "noise"
+    assert v2["verdict_norm"] == "regression"
+
+
+# --- recheck re-verdict -------------------------------------------------
+
+def test_apply_recheck_noise_and_confirmed():
+    v = bench._delta_verdict(cur=13.0, prev=10.0, band=0.20)
+    bench._apply_recheck(v, recheck_s=10.5)      # isolated run back in band
+    assert v["verdict_final"] == "noise-on-recheck"
+    assert v["recheck_s"] == 10.5
+    v2 = bench._delta_verdict(cur=13.0, prev=10.0, band=0.20)
+    bench._apply_recheck(v2, recheck_s=12.9)     # reproduces in isolation
+    assert v2["verdict_final"] == "regression-confirmed"
+
+
+def test_apply_recheck_uses_host_ratio():
+    # recheck wall 12.4 on a 1.25x-slower box is 9.9 normalized -> noise
+    v = bench._delta_verdict(cur=13.0, prev=10.0, band=0.20, host_ratio=1.25)
+    v["verdict_norm"] = "regression"  # force the recheck path regardless
+    bench._apply_recheck(v, recheck_s=12.4)
+    assert v["verdict_final"] == "noise-on-recheck"
+
+
+def test_vs_prev_round_flags_carry_adjudication(monkeypatch, tmp_path):
+    prev = {"queries": {"doc_text": 10.0, "quality": 0.4},
+            "calibration": {"best_s": 0.30}}
+    monkeypatch.setattr(bench, "_prev_bench",
+                        lambda: ("BENCH_r99.json", prev))
+    out = bench._vs_prev_round(
+        {"doc_text": 13.0, "quality": 0.5}, spread={},
+        calibration={"best_s": 0.39})  # box 30% slower than prev round
+    assert out["host_ratio"] == 1.3
+    assert out["queries"]["doc_text"]["verdict"] == "regression"
+    assert out["queries"]["doc_text"]["verdict_norm"] == "noise"
+    # sub-second query gets the wider 50% floor
+    assert out["queries"]["quality"]["band_pct"] == 50.0
+    assert "total_delta_norm_pct" in out
+
+
+def test_vs_prev_round_without_prev_calibration(monkeypatch):
+    prev = {"queries": {"doc_text": 10.0}}
+    monkeypatch.setattr(bench, "_prev_bench",
+                        lambda: ("BENCH_r99.json", prev))
+    out = bench._vs_prev_round({"doc_text": 13.0}, spread={},
+                               calibration={"best_s": 0.39})
+    assert "calibration_note" in out
+    assert "verdict_norm" not in out["queries"]["doc_text"]
+    # the effective verdict is then the raw one -> recheck would fire
+    assert bench._effective_verdict(out["queries"]["doc_text"]) == "regression"
+
+
+# --- report-section splicing (ADVICE r7) ---------------------------------
+
+def test_replace_section_is_line_anchored(tmp_path):
+    p = str(tmp_path / "R.md")
+    with open(p, "w") as f:
+        f.write("# Head\n\nsee the \"## Tail\" section below for recall\n\n"
+                "## Tail\n\nold tail content\n")
+    bench._replace_section(p, "## Tail", "## Tail\n\nnew tail content")
+    text = open(p).read()
+    assert "new tail content" in text and "old tail content" not in text
+    # the prose that QUOTES the marker survives (pre-fix it was the cut
+    # point and everything after it was destroyed)
+    assert 'see the "## Tail" section below' in text
+
+
+def test_replace_section_is_section_scoped(tmp_path):
+    p = str(tmp_path / "R.md")
+    with open(p, "w") as f:
+        f.write("# Head\n\n## A\n\nold a\n\n## B\n\nkeep b\n")
+    bench._replace_section(p, "## A", "## A\n\nnew a")
+    text = open(p).read()
+    assert "new a" in text and "old a" not in text
+    assert "keep b" in text
+    assert text.index("new a") < text.index("## B")
+
+
+def test_replace_section_appends_when_missing(tmp_path):
+    p = str(tmp_path / "R.md")
+    with open(p, "w") as f:
+        f.write("# Head\n\nbody\n")
+    bench._replace_section(p, "## New", "## New\n\ncontent")
+    text = open(p).read()
+    assert text.startswith("# Head") and text.rstrip().endswith("content")
+
+
+def test_rewrite_preserving_keeps_foreign_sections(tmp_path):
+    # the --ann-capacity / --ivf-recall shape: a full rewrite of the
+    # file must re-splice the section the OTHER mode appended
+    p = str(tmp_path / "ANN.md")
+    with open(p, "w") as f:
+        f.write("# Old main\n\nold body\n\n## Clustered-corpus recall "
+                "(r7)\n\nrecall table\n")
+    bench._rewrite_preserving(p, "# New main\n\nnew body",
+                              ["## Clustered-corpus recall"])
+    text = open(p).read()
+    assert text.startswith("# New main")
+    assert "old body" not in text
+    assert "recall table" in text
+
+
+def test_rewrite_preserving_multiple_markers_in_order(tmp_path):
+    p = str(tmp_path / "CB.md")
+    with open(p, "w") as f:
+        f.write("# Main\n\n## N -> 4N scaling of the composed build\n\n"
+                "scaling rows\n\n## Curation-phase scaling\n\ncurate rows\n")
+    bench._rewrite_preserving(
+        p, "# Main v2",
+        ["## N -> 4N scaling of the composed build",
+         "## Curation-phase scaling"])
+    text = open(p).read()
+    assert text.index("# Main v2") < text.index("scaling rows")
+    assert text.index("scaling rows") < text.index("curate rows")
+    # absent markers are skipped silently
+    bench._rewrite_preserving(p, "# Main v3", ["## Not There"])
+    assert open(p).read().startswith("# Main v3")
