@@ -40,18 +40,29 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity; NULL when either side has zero norm.
+
+    try_divide, not `/`: Spark 4 runs ANSI mode by default, where plain
+    double division raises DIVIDE_BY_ZERO — one all-zero embedding in a
+    100 TB corpus would kill the whole job (the try_parse_url argument).
+    NULL flows into each consumer's existing degenerate handling: the
+    brute-force twins sanitize it to -inf (_sanitize_cos, ranks last),
+    ranking windows sort NULL cos last under DESC, and threshold
+    filters (embed_neardup) drop it."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def _sanitize_cos(raw: Column) -> Column:
     """Degenerate-cosine contract shared by BOTH brute-force twins: a
-    cosine that comes out NULL (NULL query or candidate embedding) or
-    NaN (a NaN element riding through the fold / Arrow batch) becomes
-    -inf, so degenerate candidates rank LAST deterministically (id
-    tie-break) under the (cos DESC, id ASC) window. Without this the
-    engines disagree three ways: Spark's desc window ranks NaN ABOVE
-    every double, NULL cos sorts NULLS-LAST, and a zero-substituted
-    NULL embedding would score 0 (mid-ranking)."""
+    cosine that comes out NULL (NULL query or candidate embedding), NaN
+    (a NaN element riding through the fold / Arrow batch), or 0/0 from
+    a ZERO-NORM vector on either side (IEEE double division gives NaN,
+    caught here) becomes -inf, so degenerate candidates rank LAST
+    deterministically (id tie-break) under the (cos DESC, id ASC)
+    window. Without this the engines disagree three ways: Spark's desc
+    window ranks NaN ABOVE every double, NULL cos sorts NULLS-LAST, and
+    a zero-substituted NULL embedding (or a norm-1.0-substituted zero
+    vector, the r7 ADVICE seam) would score 0 (mid-ranking)."""
     return F.when(raw.isNull() | F.isnan(raw),
                   F.lit(float("-inf"))).otherwise(raw)
 
@@ -67,10 +78,10 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """For each query row, the top-k nearest candidates by cosine
     (excluding self), deterministic tie-break on candidate id.
-    Degenerate pairs (NULL embedding on either side, NaN element)
-    report cos = -inf and rank last — see _sanitize_cos; this is the
-    same contract the Arrow twin implements, so the twins agree on
-    NaN/NULL inputs.
+    Degenerate pairs (NULL embedding on either side, NaN element,
+    zero-norm vector on either side) report cos = -inf and rank last —
+    see _sanitize_cos; this is the same contract the Arrow twin
+    implements, so the twins agree on NaN/NULL/zero-norm inputs.
 
     ``queries`` is expected to be small relative to ``embeddings`` —
     broadcast it so the scan over the big side is shuffle-free."""
@@ -108,11 +119,12 @@ def brute_force_topk_arrow(embeddings: DataFrame, queries: DataFrame,
     neighbor_id ASC, self excluded, cos rounded half-up to 6); batch-
     local pruning is exact because it uses the same (cos DESC, id ASC)
     order as the global window. Degenerate candidates — NULL embedding,
-    or a cosine that comes out non-finite (NaN element riding through
-    Arrow) — score -inf and rank LAST with id tie-break, the SAME
-    contract the native twin's _sanitize_cos enforces, so the twins
-    agree row-for-row on NaN/NULL candidates (twin-compared in
-    tests/test_round6_hardening.py). NULL QUERY embeddings raise
+    a cosine that comes out non-finite (NaN element riding through
+    Arrow), or a ZERO-NORM vector on either side (whose native 0/0
+    cosine is NaN) — score -inf and rank LAST with id tie-break, the
+    SAME contract the native twin's _sanitize_cos enforces, so the
+    twins agree row-for-row on NaN/NULL/zero-norm inputs (twin-compared
+    in tests/test_round6_hardening.py and test_round8_hardening.py). NULL QUERY embeddings raise
     ValueError up front — the native path returns all-(-inf)-cos rows
     for them, a degenerate answer better surfaced than silently
     returned (filter them, or use brute_force_topk). Queries are collected
@@ -151,13 +163,15 @@ def brute_force_topk_arrow(embeddings: DataFrame, queries: DataFrame,
         Q = np.array([[float(v) for v in r[1]] for r in qrows],
                      dtype=np.float64)
         qn = np.linalg.norm(Q, axis=1)
-        qn[qn == 0.0] = 1.0
-        bc = spark.sparkContext.broadcast((qids, (Q / qn[:, None]).T))
+        zero_q = qn == 0.0
+        qn[zero_q] = 1.0
+        bc = spark.sparkContext.broadcast((qids, (Q / qn[:, None]).T,
+                                           zero_q))
         dim = Q.shape[1]
         kk = k + 1   # +1 so self-exclusion cannot eat a real neighbor
 
         def score(batches):
-            q_ids, Qt = bc.value
+            q_ids, Qt, zero_q = bc.value
             zero = np.zeros(dim)
             for pdf in batches:
                 if len(pdf) == 0:
@@ -171,18 +185,26 @@ def brute_force_topk_arrow(embeddings: DataFrame, queries: DataFrame,
                                    dtype=object)
                 m = np.stack(raw).astype(np.float64, copy=False)
                 vn = np.linalg.norm(m, axis=1)
-                vn[vn == 0.0] = 1.0
+                zero_cand = vn == 0.0
+                vn[zero_cand] = 1.0
                 scores = (m / vn[:, None]) @ Qt          # B x Q
-                # degenerate-candidate contract (_sanitize_cos): NaN
-                # scores AND NULL-embedding candidates become -inf so
-                # they sort last everywhere — locally, and in the
-                # global window where Spark would rank NaN ABOVE all
-                # doubles under desc and a zero-substituted NULL
-                # embedding would score 0 (mid-ranking, unlike the
-                # native twin's NULL cos)
+                # degenerate contract (_sanitize_cos): NaN scores,
+                # NULL-embedding candidates, AND zero-norm vectors on
+                # either side become -inf so they sort last everywhere
+                # — locally, and in the global window where Spark
+                # would rank NaN ABOVE all doubles under desc. Without
+                # the masks a zero-substituted NULL embedding or a
+                # norm-1.0-substituted zero vector would score 0
+                # (mid-ranking), while the native twin's 0/0 cosine is
+                # NaN -> -inf — the twins would diverge row-for-row
+                # on exactly those rows (r7 ADVICE)
                 scores[~np.isfinite(scores)] = -np.inf
                 if null_mask.any():
                     scores[null_mask, :] = -np.inf
+                if zero_cand.any():
+                    scores[zero_cand, :] = -np.inf
+                if zero_q.any():
+                    scores[:, zero_q] = -np.inf
                 take = min(kk, len(ids))
                 out_q, out_n, out_c = [], [], []
                 for j, qid in enumerate(q_ids):
