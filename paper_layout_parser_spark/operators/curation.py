@@ -379,6 +379,29 @@ def deterministic_shuffle(
     return docs.orderBy(salted_h8(salt, id_col), F.col(id_col))
 
 
+def _classify_rule(rule: str, literals: set, parents: set,
+                   wildcards: set, vetoes: set) -> None:
+    """Sort one lowercased PSL rule into the loader's four buckets (the
+    PSL grammar: literal / '!exception' / '*.wildcard')."""
+    if rule.startswith("!"):
+        body = rule[1:]
+        parent = body.split(".", 1)
+        if len(parent) < 2:
+            raise ValueError(
+                f"exception rule {rule!r} has no parent suffix")
+        parents.add(parent[1])
+        vetoes.add(body)
+    elif "*" in rule:
+        if not rule.startswith("*.") or "*" in rule[2:]:
+            raise ValueError(
+                f"unsupported wildcard position in rule {rule!r} — "
+                "only leftmost-label wildcards ('*.tld') occur in "
+                "the published list")
+        wildcards.add(rule[2:])
+    else:
+        literals.add(rule)
+
+
 def load_public_suffixes(
     spark,
     path: str | None = None,
@@ -394,8 +417,11 @@ def load_public_suffixes(
     the caller actually has:
 
     - comment (``//``) and blank lines are skipped; each rule is the
-      first whitespace-delimited token of its line, lowercased (the
-      canonical list is already punycode/ASCII);
+      first whitespace-delimited token of its line, lowercased;
+    - the published list carries rules in UNICODE — every non-ASCII
+      rule also emits its IDNA/punycode ASCII twin (公司.cn ->
+      xn--55qx5d.cn), so hosts in either form match (r8; the punycoded
+      half of the published checkPublicSuffix vectors);
     - literal rules pass through;
     - exception rules (``!www.ck``) emit the rule minus its leftmost
       label (``ck``) — per the PSL algorithm the prevailing exception
@@ -443,6 +469,21 @@ def load_public_suffixes(
         with open(path, encoding="utf-8") as fh:
             text = fh.read()
 
+    def _with_ascii_twin(rule: str) -> list[str]:
+        # the published list carries rules in UNICODE (公司.cn); crawl
+        # hosts arrive in either form, so every non-ASCII rule also
+        # emits its IDNA/punycode twin (xn--55qx5d.cn) — the same
+        # ToASCII normalization PSL libraries apply, which is what
+        # makes the punycoded half of the published test vectors pass
+        # (tests/test_psl_vectors.py). Python's idna codec is IDNA2003;
+        # labels it cannot encode keep only their unicode form.
+        if rule.isascii():
+            return [rule]
+        try:
+            return [rule, rule.encode("idna").decode("ascii")]
+        except UnicodeError:
+            return [rule]
+
     literals: set[str] = set()
     parents: set[str] = set()     # exception parents, e.g. 'ck', 'kobe.jp'
     wildcards: set[str] = set()   # rule tails: '*.ck' stored as 'ck'
@@ -451,24 +492,8 @@ def load_public_suffixes(
         line = line.strip()
         if not line or line.startswith("//"):
             continue
-        rule = line.split()[0].lower()
-        if rule.startswith("!"):
-            body = rule[1:]
-            parent = body.split(".", 1)
-            if len(parent) < 2:
-                raise ValueError(
-                    f"exception rule {rule!r} has no parent suffix")
-            parents.add(parent[1])
-            vetoes.add(body)
-        elif "*" in rule:
-            if not rule.startswith("*.") or "*" in rule[2:]:
-                raise ValueError(
-                    f"unsupported wildcard position in rule {rule!r} — "
-                    "only leftmost-label wildcards ('*.tld') occur in "
-                    "the published list")
-            wildcards.add(rule[2:])
-        else:
-            literals.add(rule)
+        for rule in _with_ascii_twin(line.split()[0].lower()):
+            _classify_rule(rule, literals, parents, wildcards, vetoes)
 
     # Exception parents are SYNTHETIC suffixes: they exist so hosts
     # UNDER the exception body derive correctly (city.kobe.jp ->
@@ -527,6 +552,7 @@ def with_registrable_domain(
     suffixes: DataFrame,
     host_col: str = "host",
     out_col: str = "domain",
+    unlisted: str = "null",
 ) -> DataFrame:
     """Annotate each row with its registrable domain (eTLD+1): the public
     suffix plus one label — the unit real per-domain policies (crawl
@@ -554,13 +580,25 @@ def with_registrable_domain(
     PSL is ~10k rows), and aggregate the longest match per host; the
     registrable domain is that suffix plus the label left of it. Hosts
     matching no suffix (intranet names, IPs) or EQUAL to a suffix (the
-    bare TLD) get NULL. The host is its own deterministic key — no
+    bare TLD) get NULL — or, with ``unlisted='star'``, the strict-PSL
+    implicit ``*`` rule applies instead (no rule matched -> the
+    rightmost label is the public suffix, so ``example.example`` ->
+    ``example.example``; the published checkPublicSuffix vectors assume
+    this). The default ``'null'`` stays the crawl-curation behavior:
+    an unlisted TLD is junk, not a domain to budget. Either way,
+    syntactically invalid hosts (empty, leading/trailing dot, empty
+    label) derive NULL, and matching is byte-literal — the PSL
+    algorithm lowercases its input, so lowercase hosts upstream
+    (functions/url.py's canonical host already is). The host is its
+    own deterministic key — no
     synthetic ids, no materialization hazard — and a hot suffix ('com')
     lives broadcast-side, never as a shuffle key. The final host->domain
     map joins back on host (shuffle of the small map; the docs side
     shuffles once on host, the same key cap_per_host would use)."""
     from pyspark.sql.functions import broadcast
 
+    if unlisted not in ("null", "star"):
+        raise ValueError("unlisted must be 'null' or 'star'")
     host = F.col(host_col)
 
     def domain_expr(h):
@@ -569,7 +607,14 @@ def with_registrable_domain(
         return labels, n
 
     labels_h, n_h = domain_expr(F.col("__host"))
-    hosts = docs.select(host.alias("__host")).where(host.isNotNull()).distinct()
+    # empty-label hosts ('.com', 'a..b', 'fqdn.', '') are invalid per
+    # the PSL algorithm — excluding them here leaves their mapping row
+    # absent, so the final left join derives NULL (pre-r8 a leading-dot
+    # host could self-assemble '.com'-style "domains")
+    hosts = (docs.select(host.alias("__host"))
+             .where(host.isNotNull() & (host != "")
+                    & ~host.rlike(r"^\.|\.\.|\.$"))
+             .distinct())
     cands = F.transform(
         F.sequence(F.lit(1), n_h),
         lambda i: F.struct(
@@ -604,6 +649,14 @@ def with_registrable_domain(
         .groupBy("__host")
         .agg(F.max("__cand_len").alias("__best_len"))
     )
+    if unlisted == "star":
+        # strict-PSL implicit '*' rule: a host no rule matched treats
+        # its rightmost label as the public suffix (best_len=1); the
+        # bare single-label host then still derives NULL via the
+        # n_h > best_len guard below
+        best = hosts.join(best, "__host", "left").select(
+            "__host",
+            F.coalesce("__best_len", F.lit(1)).alias("__best_len"))
     mapping = best.select(
         "__host",
         F.when(
