@@ -460,6 +460,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise n-gram Jaccard — deliberately the QUADRATIC ORACLE,
+    not the production near-dup path. Its shingle self-join explodes
+    with the square of any hot shingle's document count, so it is not
+    100x-safe and is not meant to be: it exists as the ground truth
+    that the scale path (dedup_minhash_lsh: banded, per-bucket-capped,
+    recall-bounded against THIS query by pytest) is measured against.
+    Run it on samples/fixtures; run dedup_minhash_lsh on the corpus.
+    Capping this query's pair explosion would make the exact oracle
+    approximate — then nothing in the suite would be ground truth."""
     return dd.jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
 
 
