@@ -80,30 +80,55 @@ def token_counts(text: Column) -> dict[str, Column]:
     }
 
 
-def _count_token(words_col: Column, token: str) -> Column:
-    # NB: the lambda must take exactly one arg (a second arg would be bound
-    # to the element index by Spark's higher-order filter)
-    def pred(w):
-        return w == F.lit(token)
+def _count_any(words_col: Column, tokens) -> Column:
+    """Occurrences of any token ∈ ``tokens`` (with multiplicity), in ONE
+    interpreted traversal. Spark higher-order functions run interpreted
+    per-element, so the previous shape — one ``F.filter`` pass per
+    token — cost |tokens| full array scans per row and, worse, its
+    allocation churn contended across executor threads in one JVM: the
+    funnel's scoring stage measured 95 s of CPU at 4 local threads but
+    333 s of CPU for the SAME rows at 16 (r8 curate-scaling probe). A
+    single ``F.aggregate`` with an ``isin`` predicate computes the
+    identical value (parity-checked) ~3x faster and scales with cores.
 
-    return F.size(F.filter(words_col, pred))
+    NB: higher-order lambdas here must take exactly one arg (a second
+    arg would be bound to the element index)."""
+    toks = list(tokens)
+    return F.aggregate(
+        words_col, F.lit(0),
+        lambda acc, w: acc + F.when(w.isin(*toks), 1).otherwise(0),
+    )
 
 
 def stopword_hits(words_col: Column) -> Column:
-    total = F.lit(0)
-    for sw in STOPWORDS:
-        total = total + _count_token(words_col, sw)
-    return total
+    return _count_any(words_col, STOPWORDS)
+
+
+# translate() deletion sets that are EXACTLY the regex classes they
+# replace: Java's [A-Za-z] matches only these 52 ASCII letters, and
+# Java's \s (no UNICODE flag) is exactly this 6-char set — so the
+# translate-based counts below are value-identical to the former
+# regexp_replace formulations (parity-checked on the real testdata).
+_ASCII_LETTERS = ("ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+                  "abcdefghijklmnopqrstuvwxyz")
+_ALNUM_WS = _ASCII_LETTERS + "0123456789" + " \t\n\x0b\f\r"
 
 
 def quality_features(text: Column) -> dict[str, Column]:
     """Deterministic quality features (length / punctuation / stopword
-    ratios) — the building blocks of a C4/Gopher-style quality filter."""
+    ratios) — the building blocks of a C4/Gopher-style quality filter.
+
+    Char-class counts use ``translate`` (a char-map pass), NOT
+    ``regexp_replace``: rebuilding a multi-KB string per row through the
+    Java regex engine measured 19.5 s for 48k docs at local[4] and got
+    SLOWER at local[16] (21.6 s — allocation/GC contention across
+    executor threads in one JVM), while the identical-valued translate
+    formulation measured 3.4 s / 1.0 s (r8 curate-scaling probe)."""
     w = words(text)
     n_chars = F.length(text)
     n_words = F.size(w)
-    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
-    n_punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    n_alpha = n_chars - F.length(F.translate(text, _ASCII_LETTERS, ""))
+    n_punct = F.length(F.translate(text, _ALNUM_WS, ""))
     sw_hits = stopword_hits(w)
     safe_words = F.when(n_words > 0, n_words).otherwise(F.lit(1))
     safe_chars = F.when(n_chars > 0, n_chars).otherwise(F.lit(1))
@@ -141,13 +166,8 @@ LANG_MARKERS = {
 
 
 def lang_scores(words_col: Column) -> dict[str, Column]:
-    out = {}
-    for lang, markers in LANG_MARKERS.items():
-        score = F.lit(0)
-        for m in markers:
-            score = score + _count_token(words_col, m)
-        out[lang] = score
-    return out
+    return {lang: _count_any(words_col, markers)
+            for lang, markers in LANG_MARKERS.items()}
 
 
 def predicted_lang(words_col: Column) -> Column:
