@@ -172,13 +172,37 @@ def lang_scores(words_col: Column) -> dict[str, Column]:
 
 def predicted_lang(words_col: Column) -> Column:
     """Argmax language with deterministic tie-break (lexicographic lang
-    code), 'und' when no marker hits at all."""
-    scores = lang_scores(words_col)
-    best_score = F.greatest(*scores.values())
-    pred = F.lit("und")
-    for lang in sorted(scores, reverse=True):
-        pred = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(pred)
-    return F.when(best_score > 0, pred).otherwise(F.lit("und"))
+    code), 'und' when no marker hits at all.
+
+    All per-language counts accumulate in ONE interpreted traversal
+    (array accumulator, one ``isin`` flag per language per word), and
+    the argmax is an ``array_max`` over (count, -rank) structs — the
+    r3 argmax lesson. The naive shape (greatest(counts) + a when-chain
+    re-referencing it) duplicates the whole counting subtree — split
+    included — per reference, because interpreted expressions get no
+    common-subexpression elimination; this form measured 1.5x faster
+    with bit-identical output (incl. tie-break and NULL/empty input)."""
+    langs = sorted(LANG_MARKERS)
+    zero = F.array(*[F.lit(0) for _ in langs])
+
+    def step(acc, w):
+        hits = F.array(*[
+            F.when(w.isin(*LANG_MARKERS[lg]), 1).otherwise(0)
+            for lg in langs
+        ])
+        return F.zip_with(acc, hits, lambda a, h: a + h)
+
+    counts = F.aggregate(words_col, zero, step)
+    negidx = F.array(*[F.lit(-i) for i in range(len(langs))])
+    # max struct = highest count, tie -> highest -rank = alphabetically
+    # first language (identical to the old overwrite-order when-chain)
+    best = F.array_max(F.zip_with(
+        counts, negidx,
+        lambda c, ni: F.struct(c.alias("s"), ni.alias("nr"))))
+    lang_arr = F.array(*[F.lit(lg) for lg in langs])
+    return F.when(best["s"] > 0,
+                  F.element_at(lang_arr, -best["nr"] + 1)
+                  ).otherwise(F.lit("und"))
 
 
 # ---------------------------------------------------------------------------
