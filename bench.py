@@ -167,11 +167,12 @@ def _rewrite_preserving(path: str, content: str,
 # that is the box, not the code.
 _CALIB_SHAPE = (512, 512)
 _CALIB_PASSES = 600
-# the anchor's wall on the box that recorded it (r8, 2026-08-18, idle):
-# the ledger's 'calibrated pages/sec' = raw pages/sec x (calib / ref),
-# i.e. throughput normalized to this reference box speed. Rounds with
-# no calibration sample show raw throughput only.
-_CALIB_REF_S = 0.339
+# the anchor's wall on the box that recorded it (r8, 2026-08-18, idle
+# best-of-6 across the full bench run): the ledger's 'calibrated
+# pages/sec' = raw pages/sec x (calib / ref), i.e. throughput
+# normalized to this reference box speed. Rounds with no calibration
+# sample show raw throughput only.
+_CALIB_REF_S = 0.245
 
 
 def _calibration_kernel_once(passes: int = _CALIB_PASSES) -> float:
