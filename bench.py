@@ -769,6 +769,14 @@ Reading: the dominant stage is **{dominant}**
 A drift in the end-to-end number is real only if {dominant}'s row
 moves.
 """)
+        f.write(_scaling_samples_section(
+            wall_lo=results[lo]["t_doc_text"],
+            wall_hi=results[hi]["t_doc_text"],
+            composite=eff,
+            dom_raw=stage_eff[dominant],
+            dom_work=stage_eff_work.get(dominant),
+            lo=lo, hi=hi, dominant=dominant,
+        ))
     print(json.dumps({"eff": round(eff, 3),
                       "pages_per_sec_8": round(thr8, 1),
                       "pages_per_sec_32": round(thr32, 1),
@@ -776,6 +784,71 @@ moves.
                                     for k, v in stage_eff.items()},
                       "stage_eff_work": {k: round(v, 3)
                                          for k, v in stage_eff_work.items()}}))
+
+
+_SAMPLES_PATH = os.path.join("BENCH", "scaling_samples.json")
+
+
+def _scaling_samples_section(wall_lo: float, wall_hi: float,
+                             composite: float, dom_raw: float,
+                             dom_work: float | None,
+                             lo: int, hi: int, dominant: str) -> str:
+    """Append this run to the persistent multi-sample ledger
+    (BENCH/scaling_samples.json) and render the variance section from
+    ALL recorded samples. The r7 three-sample protocol lived as
+    hand-written prose inside BASELINE.md and was destroyed by the next
+    full-file rewrite (the ADVICE r7 rewrite/append hazard) — samples
+    now persist as data and the narrative derives from them, so a
+    re-run ADDS a row instead of erasing history."""
+    samples = []
+    if os.path.exists(_SAMPLES_PATH):
+        try:
+            with open(_SAMPLES_PATH) as f:
+                samples = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            samples = []
+    samples.append({
+        "label": f"s{len(samples) + 1}",
+        "wall_lo": round(wall_lo, 2), "wall_hi": round(wall_hi, 2),
+        "composite": round(composite, 3), "dom_raw": round(dom_raw, 3),
+        "dom_work": round(dom_work, 3) if dom_work is not None else None,
+    })
+    with open(_SAMPLES_PATH, "w") as f:
+        json.dump(samples, f, indent=1)
+
+    rows = "\n".join(
+        f"| {s['label']} | {s['wall_lo']:.2f} | {s['wall_hi']:.2f} | "
+        f"{s['composite']:.3f} | {s['dom_raw']:.3f}"
+        + (f" / {s['dom_work']:.3f}" if s.get("dom_work") is not None
+           else " / —") + " |"
+        for s in samples)
+    comps = [s["composite"] for s in samples]
+    doms = ([s["dom_work"] for s in samples if s.get("dom_work")]
+            or [s["dom_raw"] for s in samples])
+    floor_comp = ((min(s["wall_lo"] for s in samples)
+                   / min(s["wall_hi"] for s in samples)) / (hi // lo))
+    return f"""
+## Scaling samples (multi-round ledger, same job shape each row)
+
+Single composite runs on this shared box are not trustworthy — a leg
+can swing 25-60% with host contention — so every `--scaling` run
+appends here (BENCH/scaling_samples.json) and the spread IS the
+protocol:
+
+| sample | fused @{lo} (s) | fused @{hi} (s) | composite | {dominant} stage eff (raw/work) |
+|---|---|---|---|---|
+{rows}
+
+Composite range {min(comps):.2f}-{max(comps):.2f} across
+{len(samples)} samples; the work-bearing **{dominant}** stage
+efficiency holds {min(doms):.2f}-{max(doms):.2f}
+({'every sample over the 0.8 target'
+   if min(doms) >= 0.8 else 'see per-sample rows'}).
+Min-wall-per-leg composite (noise only ever ADDS time):
+**{floor_comp:.2f}**. The conservative, contention-robust scaling
+number is the per-stage one; the composite inherits whichever leg hit
+shared-host contention.
+"""
 
 
 def ann_capacity_mode() -> None:
