@@ -258,19 +258,8 @@ def _update_doc_text_ledger(doc_text_s: float, n_pages: int,
     12.3 -> 16.4 -> 14.1 -> 18.9 s across rounds on a shared box with no
     retroactive way to split engine drift from host drift; the
     calibrated column is that split, from r8 on."""
-    import glob
-    import re
-
-    here = os.path.dirname(os.path.abspath(__file__))
     rows = []
-    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
-                    key=lambda p: int(re.search(r"_r(\d+)", p).group(1))):
-        n = int(re.search(r"_r(\d+)", p).group(1))
-        try:
-            with open(p) as f:
-                parsed = json.load(f).get("parsed") or {}
-        except (json.JSONDecodeError, OSError):
-            continue
+    for n, _path, parsed in _round_benches():
         q = parsed.get("queries", {})
         if "doc_text" not in q:
             continue
@@ -421,22 +410,36 @@ def run_trainingdata(spark, sf_dir: str, rotate: int = 0) -> dict:
     return timings
 
 
-def _prev_bench() -> tuple[str | None, dict]:
-    """Newest BENCH_r*.json (the driver wraps our JSON line under
-    'parsed'), unwrapped; (None, {}) when no prior round exists."""
+def _round_benches() -> list[tuple[int, str, dict]]:
+    """Every recorded BENCH_r*.json as (round, path, unwrapped-payload),
+    round-ascending — the single owner of the round-artifact naming /
+    'parsed' wrapping scheme (the delta verdicts and the doc_text
+    ledger both read through this)."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    benches = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
-    )
+    out = []
+    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
+                    key=lambda p: int(re.search(r"_r(\d+)", p).group(1))):
+        n = int(re.search(r"_r(\d+)", p).group(1))
+        try:
+            with open(p) as f:
+                parsed = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            continue
+        out.append((n, p, parsed.get("parsed", parsed) or {}))
+    return out
+
+
+def _prev_bench() -> tuple[str | None, dict]:
+    """Newest recorded round's payload; (None, {}) when no prior round
+    exists."""
+    benches = _round_benches()
     if not benches:
         return None, {}
-    with open(benches[-1]) as f:
-        prev = json.load(f)
-    return os.path.basename(benches[-1]), prev.get("parsed", prev)
+    n, path, payload = benches[-1]
+    return os.path.basename(path), payload
 
 
 def _vs_prev_round(queries: dict, spread: dict,
@@ -809,45 +812,62 @@ def _scaling_samples_section(wall_lo: float, wall_hi: float,
             samples = []
     samples.append({
         "label": f"s{len(samples) + 1}",
+        "lo": lo, "hi": hi, "dominant": dominant,
         "wall_lo": round(wall_lo, 2), "wall_hi": round(wall_hi, 2),
         "composite": round(composite, 3), "dom_raw": round(dom_raw, 3),
         "dom_work": round(dom_work, 3) if dom_work is not None else None,
     })
     with open(_SAMPLES_PATH, "w") as f:
         json.dump(samples, f, indent=1)
+    return _render_scaling_samples(samples, lo, hi, dominant)
+
+
+def _render_scaling_samples(samples: list, lo: int, hi: int,
+                            dominant: str) -> str:
+    """Pure render of the multi-sample variance section (no appending —
+    so the section can be regenerated from the recorded JSON)."""
+    # every row renders with ITS OWN recorded shape (legacy back-filled
+    # rows without one default to this run's) — a future run at a
+    # different SCALE_N or with a different dominant stage must not
+    # silently relabel history under its own headers
+    def shape(s):
+        return (f"{s.get('lo', lo)}→{s.get('hi', hi)}, "
+                f"{s.get('dominant', dominant)}")
 
     rows = "\n".join(
-        f"| {s['label']} | {s['wall_lo']:.2f} | {s['wall_hi']:.2f} | "
-        f"{s['composite']:.3f} | {s['dom_raw']:.3f}"
+        f"| {s['label']} | {shape(s)} | {s['wall_lo']:.2f} | "
+        f"{s['wall_hi']:.2f} | {s['composite']:.3f} | {s['dom_raw']:.3f}"
         + (f" / {s['dom_work']:.3f}" if s.get("dom_work") is not None
            else " / —") + " |"
         for s in samples)
     comps = [s["composite"] for s in samples]
-    doms = ([s["dom_work"] for s in samples if s.get("dom_work")]
-            or [s["dom_raw"] for s in samples])
-    floor_comp = ((min(s["wall_lo"] for s in samples)
-                   / min(s["wall_hi"] for s in samples)) / (hi // lo))
+    doms = [s["dom_raw"] if s.get("dom_work") is None else s["dom_work"]
+            for s in samples]
+    same_shape = [s for s in samples
+                  if s.get("lo", lo) == lo and s.get("hi", hi) == hi]
+    floor_comp = ((min(s["wall_lo"] for s in same_shape)
+                   / min(s["wall_hi"] for s in same_shape)) / (hi // lo))
     return f"""
-## Scaling samples (multi-round ledger, same job shape each row)
+## Scaling samples (multi-round ledger)
 
 Single composite runs on this shared box are not trustworthy — a leg
 can swing 25-60% with host contention — so every `--scaling` run
 appends here (BENCH/scaling_samples.json) and the spread IS the
 protocol:
 
-| sample | fused @{lo} (s) | fused @{hi} (s) | composite | {dominant} stage eff (raw/work) |
-|---|---|---|---|---|
+| sample | shape (N→4N cores, dominant stage) | fused @N (s) | fused @4N (s) | composite | dominant stage eff (raw/work) |
+|---|---|---|---|---|---|
 {rows}
 
 Composite range {min(comps):.2f}-{max(comps):.2f} across
-{len(samples)} samples; the work-bearing **{dominant}** stage
+{len(samples)} samples; the work-bearing dominant-stage
 efficiency holds {min(doms):.2f}-{max(doms):.2f}
 ({'every sample over the 0.8 target'
    if min(doms) >= 0.8 else 'see per-sample rows'}).
-Min-wall-per-leg composite (noise only ever ADDS time):
-**{floor_comp:.2f}**. The conservative, contention-robust scaling
-number is the per-stage one; the composite inherits whichever leg hit
-shared-host contention.
+Min-wall-per-leg composite over the {len(same_shape)} same-shape
+samples (noise only ever ADDS time): **{floor_comp:.2f}**. The
+conservative, contention-robust scaling number is the per-stage one;
+the composite inherits whichever leg hit shared-host contention.
 """
 
 
@@ -1357,7 +1377,7 @@ Composition audit (from the executed curation plan):
 - scans of the raw pages source in the curation plan: **{pages_scans}**
   (must be 0 — the checkpoint is the phase boundary)
 """, preserve_markers=["## N -> 4N scaling of the composed build",
-                       "## Curation-phase scaling"])
+                       "## Curate phase, work-dominated"])
         if udf_nodes or pages_scans:
             print(f"COMPOSITION VIOLATION: udf={udf_nodes} "
                   f"pages_scans={pages_scans}", file=sys.stderr)
@@ -1695,8 +1715,10 @@ def curate_scaling_mode() -> None:
 
     rlo, rhi = results[lo], results[hi]
     eff_raw = (rlo["wall"] / rhi["wall"]) / 4
-    work_lo = rlo["wall"] - rlo["overhead"]
-    work_hi = rhi["wall"] - rhi["overhead"]
+    # clamp like --scaling's stage table: a GC pause during the one-row
+    # overhead pass must not produce a negative work wall / efficiency
+    work_lo = max(rlo["wall"] - rlo["overhead"], 0.0)
+    work_hi = max(rhi["wall"] - rhi["overhead"], 0.0)
     eff_work = (work_lo / work_hi) / 4 if work_hi > 0 else float("nan")
     cum = results["legs"]
     deltas = {}

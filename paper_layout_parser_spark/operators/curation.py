@@ -492,8 +492,22 @@ def load_public_suffixes(
         line = line.strip()
         if not line or line.startswith("//"):
             continue
-        for rule in _with_ascii_twin(line.split()[0].lower()):
-            _classify_rule(rule, literals, parents, wildcards, vetoes)
+        rule = line.split()[0].lower()
+        # split the grammar PREFIX off before deriving the IDNA twin:
+        # encoding the raw rule would swallow '!' / '*.' into the first
+        # punycode label ('!例.jp'.encode('idna') -> 'xn--!-lb7a.jp', a
+        # garbage literal instead of an exception) and the '*' label
+        # makes the codec raise, so non-ASCII wildcards would lose
+        # their ASCII twin entirely
+        if rule.startswith("!"):
+            prefix, body = "!", rule[1:]
+        elif rule.startswith("*."):
+            prefix, body = "*.", rule[2:]
+        else:
+            prefix, body = "", rule
+        for twin in _with_ascii_twin(body):
+            _classify_rule(prefix + twin, literals, parents, wildcards,
+                           vetoes)
 
     # Exception parents are SYNTHETIC suffixes: they exist so hosts
     # UNDER the exception body derive correctly (city.kobe.jp ->

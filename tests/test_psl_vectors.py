@@ -212,3 +212,33 @@ def test_unobserved_wildcard_approximation_stated(spark):
     docs = spark.createDataFrame([("a.foo.ck",)], "host string")
     got = with_registrable_domain(docs, sx, unlisted="star").collect()
     assert got[0]["domain"] == "foo.ck"   # strict PSL: 'a.foo.ck'
+
+
+def test_non_ascii_exception_and_wildcard_rules(spark):
+    """The IDNA twin must be derived from the rule BODY, not the raw
+    rule: '!例.jp'.encode('idna') swallows the '!' into the punycode
+    label ('xn--!-lb7a.jp' — a garbage literal), and the '*' label makes
+    the codec raise so a non-ASCII wildcard would lose its ASCII twin
+    entirely. Grammar-prefix-aware twinning keeps the exception an
+    exception and the wildcard a wildcard in BOTH script forms."""
+    psl = "jp\n*.神戸.jp\n!市.神戸.jp\n"
+    kobe = "神戸".encode("idna").decode()
+    shi = "市".encode("idna").decode()
+    hosts = ["www.市.神戸.jp", f"www.{shi}.{kobe}.jp",
+             f"a.b.{kobe}.jp", f"b.{kobe}.jp"]
+    docs = spark.createDataFrame([(h,) for h in hosts], "host string")
+    sx = load_public_suffixes(spark, text=psl,
+                              observed_hosts=docs.select("host"))
+    got = {r["host"]: r["domain"]
+           for r in with_registrable_domain(docs, sx,
+                                            unlisted="star").collect()}
+    # unicode exception family works as before
+    assert got["www.市.神戸.jp"] == "市.神戸.jp"
+    # punycoded exception family: the ASCII twin must classify as an
+    # exception (parent + veto), not a '!xn--…' garbage literal
+    assert got[f"www.{shi}.{kobe}.jp"] == f"{shi}.{kobe}.jp"
+    # punycoded wildcard family: the ASCII twin must expand as a
+    # wildcard instance, so b.<kobe>.jp is itself a public suffix…
+    assert got[f"b.{kobe}.jp"] is None
+    # …and a host one label deeper derives that instance + one label
+    assert got[f"a.b.{kobe}.jp"] == f"a.b.{kobe}.jp"
