@@ -190,3 +190,52 @@ def test_rewrite_preserving_multiple_markers_in_order(tmp_path):
     # absent markers are skipped silently
     bench._rewrite_preserving(p, "# Main v3", ["## Not There"])
     assert open(p).read().startswith("# Main v3")
+
+
+def test_render_scaling_samples_per_row_shape():
+    # rows render under their OWN recorded shape; a dom_work of 0.0 is a
+    # real (terrible) measurement, not a missing one
+    samples = [
+        {"label": "s1", "lo": 4, "hi": 16, "dominant": "rasterize",
+         "wall_lo": 400.0, "wall_hi": 100.0, "composite": 1.0,
+         "dom_raw": 0.9, "dom_work": 0.91},
+        {"label": "s2", "lo": 8, "hi": 32, "dominant": "detect_enrich",
+         "wall_lo": 200.0, "wall_hi": 60.0, "composite": 0.83,
+         "dom_raw": 0.5, "dom_work": 0.0},
+    ]
+    sec = bench._render_scaling_samples(samples, 8, 32, "detect_enrich")
+    assert "| s1 | 4→16, rasterize |" in sec
+    assert "| s2 | 8→32, detect_enrich |" in sec
+    assert "0.900 / 0.910" in sec
+    assert "0.500 / 0.000" in sec          # dom_work 0.0 renders, not —
+    # the min-wall floor uses only CURRENT-shape samples (s2): 200/60/4
+    assert f"**{(200.0 / 60.0) / 4:.2f}**" in sec
+    # the band derives from dom_work where present: min(0.91, 0.0)
+    assert "0.00-0.91" in sec
+
+
+def test_render_scaling_samples_legacy_rows_default_to_current_shape():
+    samples = [{"label": "s1", "wall_lo": 100.0, "wall_hi": 25.0,
+                "composite": 1.0, "dom_raw": 0.9, "dom_work": None}]
+    sec = bench._render_scaling_samples(samples, 4, 16, "rasterize")
+    assert "| s1 | 4→16, rasterize |" in sec
+    assert "0.900 / —" in sec              # None stays a dash
+
+
+def test_round_benches_unwraps_and_sorts(tmp_path, monkeypatch):
+    import json as _json
+    import os as _os
+    # point discovery at a fake repo dir with shuffled round files
+    monkeypatch.setattr(bench.os.path, "abspath",
+                        lambda _p: str(tmp_path / "bench.py"))
+    for n, payload in ((10, {"parsed": {"value": 10}}), (2, {"value": 2})):
+        with open(tmp_path / f"BENCH_r{n:02d}.json", "w") as f:
+            _json.dump(payload, f)
+    with open(tmp_path / "BENCH_r03.json", "w") as f:
+        f.write("{not json")
+    rounds = bench._round_benches()
+    assert [r[0] for r in rounds] == [2, 10]          # corrupt r3 skipped
+    assert rounds[0][2] == {"value": 2}               # raw payload kept
+    assert rounds[1][2] == {"value": 10}              # 'parsed' unwrapped
+    name, prev = bench._prev_bench()
+    assert name == "BENCH_r10.json" and prev == {"value": 10}
