@@ -1534,7 +1534,9 @@ def _synth_curation_corpus(spark, n_docs: int, n_hosts: int,
       otherwise-unique line: the line survives line dedup but its
       8-gram spans repeat corpus-wide, so span dedup's touched set is
       ~10% of docs (the gated-reassembly operating point
-      BENCH/DEDUP_CAPACITY.md measures);
+      BENCH/DEDUP_CAPACITY.md measures) — WITHIN the curate graph,
+      where line dedup runs first; running span dedup alone on this
+      corpus touches every doc (the boilerplate lines also repeat);
     - hosts spread so host_cap=30 binds on roughly a quarter of docs
       (n_hosts defaults to n_docs/40 upstream)."""
     import tempfile

@@ -489,21 +489,20 @@ def remove_duplicate_spans(docs: DataFrame, n: int = 8,
     combines the viral boilerplate window map-side); the flag join is
     a LEFT SEMI against one row per duplicated key; coverage explodes
     n positions per duplicated window (bounded by n x hits) onto
-    narrow (id, pos) ints. The coverage set is MATERIALIZED
-    (operators.materialize — ``checkpoint=`` a Catalog swaps the
-    localCheckpoint for a durable catalog table, the minhash_lsh_pairs
-    contract): three consumers read it (the reassembly anti-join, the
-    touched-id gate, the token-total side table), and without the cut
-    each would re-run the corpus-token window count — measured ~1.7x
-    end-to-end at 10x volume (14.68 s unmaterialized vs 8.82 s for the
-    pre-gate operator; 9.66 s with this cut — docs/PLANS.md has the
-    full comparison). It is the
-    cheapest possible cut point: narrow (id, pos) ints, rows
-    proportional to DUPLICATED positions only, not the corpus. The
-    reassembly legs are NOT token-grain in the corpus: tokenize /
-    anti-join / collect_list run only over the LEFT SEMI of documents
-    against the covered-id set, so their cost scales with the touched
-    fraction, not the corpus. Collision note:
+    narrow (id, pos) ints. Reassembly (r8) is ARRAY-based: the
+    coverage set folds to one sorted position array per touched doc
+    (rows proportional to DUPLICATED positions only, never the
+    corpus), inner-joins the tokenized doc (the join IS the
+    untouched-doc gate), and the text rebuilds per-row via
+    array_except + transform — no token-grain shuffle anywhere in the
+    reassembly (the r6-r7 posexplode / anti-join / collect_list shape
+    shuffled every touched document's words twice; measured 1.5x
+    slower at local[4] and 1.9x at local[16] on a 48k-doc
+    every-doc-touched worst case). With a single coverage
+    consumer the lazy localCheckpoint cut is gone too;
+    ``checkpoint=`` a Catalog still materializes the coverage table
+    durably for clusters (the minhash_lsh_pairs contract,
+    twin-tested). Collision note:
     two DIFFERENT windows colliding in xxhash64 (2^-64 per pair)
     would remove a non-duplicated span — the cost of never shuffling
     window text; swap the key for sha2/md5 where that matters."""
@@ -535,57 +534,53 @@ def remove_duplicate_spans(docs: DataFrame, n: int = 8,
                F.sequence(F.col("__p"), F.col("__p") + (n - 1))
            ).alias("__q"))
            .distinct())
-    from .materialize import materialize
+    if checkpoint is not None:
+        # durable coverage cut for clusters (the catalog contract;
+        # twin-tested vs this default path). The r7-era lazy
+        # localCheckpoint default is GONE: the array reassembly below
+        # consumes the coverage set exactly once, so there is no shared
+        # subtree left to cut (the three-consumer recompute trap the
+        # cut existed for — docs/PLANS.md — no longer exists).
+        from .materialize import materialize
 
-    cov = materialize(cov, checkpoint, "span_coverage")
-    # null-safe id joins throughout: a plain equi-join never matches
-    # NULL == NULL, which would silently EMPTY every NULL-id row's text
-    # in the final join (dedup_lines groups instead of joining and has
-    # no such hazard — the operators must agree that NULL ids form one
-    # ordinary group)
-    covr = cov.withColumnRenamed("__id", "__cid").withColumnRenamed(
-        "__q", "__cq")
-    # gate: only documents with at least one covered position enter the
-    # tokenize / anti-join / reassembly legs — untouched documents (the
-    # vast majority at production dup rates) skip two token-grain
-    # shuffles entirely and pass through byte-identical below
-    touched = covr.select(F.col("__cid").alias("__tid")).distinct()
-    dt = d.join(touched, F.col("__id").eqNullSafe(F.col("__tid")),
-                "left_semi")
-    toks = dt.select(
-        "__id", F.posexplode_outer("__w").alias("__q", "__word")
+        cov = materialize(cov, checkpoint, "span_coverage")
+    # r8 reassembly: fold the coverage set to ONE row per touched doc
+    # (a sorted position array — rows proportional to duplicated
+    # positions only), join it to the tokenized doc, and rebuild the
+    # text with native array ops. This replaces the r6-r7 shape's two
+    # TOKEN-grain shuffles (posexplode + (id,pos) anti-join +
+    # collect_list regroup, each carrying word strings for every token
+    # of every touched document) with one COVERAGE-grain shuffle of
+    # ints; the per-row rebuild is order-preserving because
+    # array_except keeps the first array's element order. The inner
+    # join IS the touched gate — untouched documents never enter.
+    # NULL-safe id join as everywhere in this operator: NULL ids form
+    # one ordinary group (groupBy agrees), and a plain equi-join would
+    # silently un-touch them.
+    cov_arr = cov.groupBy("__id").agg(
+        F.array_sort(F.collect_list("__q")).alias("__cov"))
+    dt = d.join(cov_arr.withColumnRenamed("__id", "__cid"),
+                F.col("__id").eqNullSafe(F.col("__cid")), "inner")
+    # touched docs always hold >= n tokens (they contain a covered
+    # window), but guard the descending-sequence edge anyway:
+    # sequence(0, -1) yields [0, -1], not []
+    pos_all = F.when(
+        F.size("__w") > 0, F.sequence(F.lit(0), F.size("__w") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    # array_except is a native collection op (cheap to reference twice);
+    # the interpreted transform appears exactly once (docs/PLANS.md r8:
+    # interpreted expressions re-evaluate per occurrence)
+    kept_pos = F.array_except(pos_all, F.col("__cov"))
+    meta = dt.select(
+        F.col("__id").alias("__mid"),
+        F.array_join(
+            F.transform(kept_pos, lambda p: F.element_at("__w", p + 1)),
+            " ").alias("__clean"),
+        (F.size("__w") - F.size(kept_pos)).alias("__rm"),
+        # the explicit flag (not a NULL-check on the join key) marks
+        # touched NULL-id docs correctly in the final join below
+        F.lit(True).alias("__touched"),
     )
-    kept = (toks.join(
-        covr,
-        F.col("__id").eqNullSafe(F.col("__cid"))
-        & (F.col("__q") == F.col("__cq")),
-        "left_anti",
-    ).where(F.col("__word").isNotNull()))
-    clean = kept.groupBy("__id").agg(
-        F.array_sort(F.collect_list(F.struct("__q", "__word"))).alias("ts")
-    ).select(
-        "__id",
-        F.array_join(F.transform("ts", lambda s: s["__word"]), " ")
-        .alias("__clean"),
-        F.size("ts").alias("__n_kept"),
-    )
-    # token totals ride a narrow (id, count) side table so the output
-    # projection does not re-run the regex split over every text body;
-    # meta holds one row per TOUCHED document only, with an explicit
-    # literal flag (a fully-covered doc has no `clean` row, so __clean
-    # NULL means empty-after-removal there — and the flag, not a
-    # NULL-check on the join key, marks touched NULL-id docs correctly)
-    totals = dt.select(F.col("__id").alias("__mid"),
-                       F.size("__w").alias("__nw"))
-    meta = (totals
-            .join(clean, F.col("__mid").eqNullSafe(F.col("__id")), "left")
-            .select(
-                "__mid",
-                F.coalesce(F.col("__clean"), F.lit("")).alias("__clean"),
-                (F.col("__nw") - F.coalesce(F.col("__n_kept"), F.lit(0)))
-                .alias("__rm"),
-                F.lit(True).alias("__touched"),
-            ))
     return (
         docs.join(meta, F.col(id_col).eqNullSafe(F.col("__mid")), "left")
         .withColumn(
