@@ -2342,16 +2342,16 @@ the corpus ({r10['pairs'] - r1['pairs']:+,} from 1x to 10x). Both legs of
 the verification join are therefore measured: the capped quadratic inside
 one hot bucket, and linear growth everywhere else.
 
-## Touched-fraction sweep (r7 reassembly gate)
+## Touched-fraction sweep (gated reassembly)
 
 Same operator at FIXED corpus size ({sweep['1-in-100']['n']:,} docs in
 both rows; a planted boilerplate sentence marks every K-th document, so
 the window-count leg — inherently corpus-linear — sees near-identical
 token volume), varying only how many documents actually contain a
-duplicated span. The r7 gate left_semi-joins the tokenize/anti-join/
-reassembly legs on the covered-id set, so wall time rises with the
+duplicated span. Reassembly (r8 array shape) joins only the documents
+present in the per-doc coverage arrays, so wall time rises with the
 touched fraction and the 1-in-100 row pays (approximately) just the
-window-count leg; the pre-gate implementation reassembled EVERY
+window-count leg; the pre-gate r6 implementation reassembled EVERY
 document (two extra corpus-token shuffles) and was flat in this sweep
 by construction.
 
