@@ -186,15 +186,18 @@ class TestIvfClusteredRecall:
 
 
 class TestSpanDedupCoverageCut:
-    def test_window_lineage_cut_out_of_output_plan(self, spark):
-        """The coverage materialization contract (r7 review fix): the
-        corpus-token window-count lineage (xxhash64 window keys ->
-        corpus count -> coverage explode) must be computed ONCE behind
-        the materialize() cut, not re-inlined into each of its three
-        consumers — the unmaterialized gate re-ran it 3x and measured
-        ~1.7x slower than no gate at all (docs/PLANS.md). The returned
-        plan therefore contains ZERO xxhash64 nodes: every consumer
-        reads the checkpointed coverage RDD instead."""
+    def test_window_lineage_appears_exactly_twice(self, spark):
+        """r8 plan-shape contract for the array reassembly. The r7
+        localCheckpoint cut is retired (the coverage set has ONE
+        consumer now, so the three-consumer recompute trap it existed
+        for — docs/PLANS.md — is structurally gone), which means the
+        window-count lineage is back inline in the output plan. The
+        invariant that replaces 'zero xxhash64 nodes': the lineage
+        appears EXACTLY twice — the inherent count/probe self-join
+        (one side builds the duplicated-key set, one side probes it).
+        A third occurrence means someone hung a second consumer off
+        the coverage set without re-adding a cut, which is the exact
+        regression r7 measured at ~1.7x end-to-end."""
         from paper_layout_parser_spark.operators.dedup import (
             remove_duplicate_spans,
         )
@@ -204,4 +207,10 @@ class TestSpanDedupCoverageCut:
             "doc_id long, text string")
         plan = (remove_duplicate_spans(df, n=5)
                 ._jdf.queryExecution().optimizedPlan().toString())
-        assert plan.count("xxhash64") == 0, plan[:1200]
+        assert plan.count("xxhash64") == 2, plan[:1200]
+        # and the reassembly itself is array-based: no token-grain
+        # posexplode, and the single collect_list regroups coverage
+        # POSITIONS (ints), never the documents' words
+        assert plan.count("posexplode") == 0, plan[:1200]
+        assert plan.count("collect_list") == 1, plan[:1200]
+        assert "collect_list(__q" in plan, plan[:1200]
