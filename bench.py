@@ -871,6 +871,61 @@ the composite inherits whichever leg hit shared-host contention.
 """
 
 
+_CURATE_SAMPLES_PATH = os.path.join("BENCH", "curate_samples.json")
+
+
+def _curate_samples_section(sample: dict) -> str:
+    """Append this --curate-scaling run to BENCH/curate_samples.json and
+    render the variance ledger from ALL recorded samples — the same
+    protocol as the headline scaling ledger: single runs on this shared
+    box swing (three same-round samples measured work-only efficiency
+    0.629-0.686 on near-identical code), so the spread is reported and
+    the contention-robust number is the min-wall-per-level floor
+    (noise only ever ADDS wall)."""
+    samples = []
+    if os.path.exists(_CURATE_SAMPLES_PATH):
+        try:
+            with open(_CURATE_SAMPLES_PATH) as f:
+                samples = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            samples = []
+    samples.append({"label": f"s{len(samples) + 1}", **sample})
+    with open(_CURATE_SAMPLES_PATH, "w") as f:
+        json.dump(samples, f, indent=1)
+    return _render_curate_samples(samples, sample["lo"], sample["hi"])
+
+
+def _render_curate_samples(samples: list, lo: int, hi: int) -> str:
+    """Pure render (no append) so the section regenerates from the
+    recorded JSON; every row renders under its own shape and note."""
+    rows = "\n".join(
+        f"| {s['label']} | {s.get('lo', lo)}→{s.get('hi', hi)} | "
+        f"{s['work_lo']:.2f} | {s['work_hi']:.2f} | "
+        f"{s['eff_work']:.3f} | {s['binding']} "
+        f"{s['binding_leg_s']:.1f}s | {s.get('note', '')} |"
+        for s in samples)
+    effs = [s["eff_work"] for s in samples]
+    same = [s for s in samples
+            if s.get("lo", lo) == lo and s.get("hi", hi) == hi]
+    floor = ((min(s["work_lo"] for s in same)
+              / min(s["work_hi"] for s in same)) / (hi // lo))
+    return f"""
+## Curate samples (multi-run ledger)
+
+Every `--curate-scaling` run appends here
+(BENCH/curate_samples.json); the spread IS the protocol — a single
+sample's efficiency moves {min(effs):.2f}-{max(effs):.2f} with host
+contention on near-identical code:
+
+| sample | shape (N→4N) | work-only @N (s) | work-only @4N (s) | work eff | binding leg @N | note |
+|---|---|---|---|---|---|---|
+{rows}
+
+Min-wall-per-level work-only efficiency over the {len(same)}
+same-shape samples (noise only ever ADDS wall): **{floor:.3f}**.
+"""
+
+
 def ann_capacity_mode() -> None:
     """IVF at realistic width (VERDICT r5 ask #4): the oracle-checked
     query runs dim=64 / C=16; a real embedding corpus is dim 384-1024
@@ -1782,6 +1837,15 @@ amortizes to nothing at real corpus sizes.
 """
     _replace_section(os.path.join("BENCH", "CORPUS_BUILD.md"),
                      "## Curate phase, work-dominated", section)
+    _replace_section(
+        os.path.join("BENCH", "CORPUS_BUILD.md"),
+        "## Curate samples (multi-run ledger)",
+        _curate_samples_section({
+            "lo": lo, "hi": hi,
+            "work_lo": round(work_lo, 2), "work_hi": round(work_hi, 2),
+            "eff_work": round(eff_work, 3), "binding": binding,
+            "binding_leg_s": round(deltas[binding], 2),
+        }))
     print(json.dumps({
         "eff_curate_raw": round(eff_raw, 3),
         "eff_curate_work": round(eff_work, 3),

@@ -239,3 +239,27 @@ def test_round_benches_unwraps_and_sorts(tmp_path, monkeypatch):
     assert rounds[1][2] == {"value": 10}              # 'parsed' unwrapped
     name, prev = bench._prev_bench()
     assert name == "BENCH_r10.json" and prev == {"value": 10}
+
+
+def test_render_curate_samples_ledger():
+    samples = [
+        {"label": "s1", "lo": 4, "hi": 16, "work_lo": 28.86,
+         "work_hi": 10.51, "eff_work": 0.686, "binding": "span_dedup",
+         "binding_leg_s": 13.02, "note": "pre"},
+        {"label": "s2", "lo": 8, "hi": 32, "work_lo": 40.0,
+         "work_hi": 12.0, "eff_work": 0.833, "binding": "funnel",
+         "binding_leg_s": 9.0},          # no note, different shape
+        {"label": "s3", "lo": 4, "hi": 16, "work_lo": 25.45,
+         "work_hi": 11.0, "eff_work": 0.578, "binding": "span_dedup",
+         "binding_leg_s": 11.85, "note": "post"},
+    ]
+    sec = bench._render_curate_samples(samples, 4, 16)
+    assert "| s1 | 4→16 | 28.86 | 10.51 | 0.686 | span_dedup 13.0s | pre |" in sec
+    # rows render under their OWN shape; a missing note stays empty
+    assert "| s2 | 8→32 | 40.00 | 12.00 | 0.833 | funnel 9.0s |  |" in sec
+    # spread derives from all samples
+    assert "0.58-0.83" in sec
+    # min-wall floor uses only CURRENT-shape samples (s1, s3):
+    # (min(28.86, 25.45) / min(10.51, 11.0)) / 4
+    assert f"**{(25.45 / 10.51) / 4:.3f}**" in sec
+    assert "over the 2" in sec

@@ -207,7 +207,10 @@ class TestSpanDedupCoverageCut:
             "doc_id long, text string")
         plan = (remove_duplicate_spans(df, n=5)
                 ._jdf.queryExecution().optimizedPlan().toString())
-        assert plan.count("xxhash64") == 2, plan[:1200]
+        # each side carries two hash layers (per-word transform +
+        # window slice-hash); the window-key node is the lineage marker
+        assert plan.count("xxhash64(slice(") == 2, plan[:1200]
+        assert plan.count("xxhash64") == 4, plan[:1200]
         # and the reassembly itself is array-based: no token-grain
         # posexplode, and the single collect_list regroups coverage
         # POSITIONS (ints), never the documents' words
