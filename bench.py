@@ -289,6 +289,7 @@ def _update_doc_text_ledger(doc_text_s: float, n_pages: int,
             f"| r{n} | {dt:.2f} | {np_ or '?'} | {pps or '?'} | "
             f"{f'{cs:.3f}' if cs else '—'} | "
             f"{cpps if cpps is not None else '—'} |")
+    here = os.path.dirname(os.path.abspath(__file__))
     _replace_section(os.path.join(here, "BENCH", "README.md"),
                      "## doc_text throughput ledger", "\n".join(lines) + "\n")
 

@@ -263,3 +263,21 @@ def test_render_curate_samples_ledger():
     # (min(28.86, 25.45) / min(10.51, 11.0)) / 4
     assert f"**{(25.45 / 10.51) / 4:.3f}**" in sec
     assert "over the 2" in sec
+
+
+def test_update_doc_text_ledger_writes_readme(tmp_path, monkeypatch):
+    # the ledger must be writable end-to-end (r8 shipped with an
+    # undefined-name crash here that killed the whole default bench)
+    monkeypatch.setattr(bench.os.path, "abspath",
+                        lambda _p: str(tmp_path / "bench.py"))
+    import json as _json
+    with open(tmp_path / "BENCH_r07.json", "w") as f:
+        _json.dump({"queries": {"doc_text": 14.1}, "n_pages": 2539,
+                    "pages_per_sec": 180.0}, f)
+    (tmp_path / "BENCH").mkdir()
+    bench._update_doc_text_ledger(12.5, 2539, 203.1, bench._CALIB_REF_S)
+    text = open(tmp_path / "BENCH" / "README.md").read()
+    assert "## doc_text throughput ledger" in text
+    assert "| r7 | 14.10 | 2539 | 180.0 | — | — |" in text
+    # current run calibrates at exactly the reference box -> raw == calib
+    assert "| r8 | 12.50 | 2539 | 203.1 | " in text and "| 203.1 |" in text
