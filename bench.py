@@ -95,6 +95,18 @@ def _ivf_sweep(emb, queries, cents, idx, truth, nprobes,
     return res
 
 
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _anchor(path: str) -> str:
+    """Resolve repo-relative report paths against bench.py's own
+    directory, not the CWD — `python /root/repo/bench.py --scaling` run
+    from /tmp must append to the repo's persistent ledgers, not fork a
+    fresh history under /tmp (the exact erased-history failure the
+    ledgers exist to prevent)."""
+    return path if os.path.isabs(path) else os.path.join(_HERE, path)
+
+
 def _replace_section(path: str, marker: str, section: str) -> None:
     """Replace-or-append one report section in place: the span from
     `marker` to the NEXT line-anchored `## ` heading (or EOF) is
@@ -103,6 +115,7 @@ def _replace_section(path: str, marker: str, section: str) -> None:
     the marker string mid-prose cannot have its tail destroyed), and
     the replace is SECTION-SCOPED (sections appended later in the file
     by other bench modes survive a re-run of this one)."""
+    path = _anchor(path)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     text = ""
     if os.path.exists(path):
@@ -138,6 +151,7 @@ def _rewrite_preserving(path: str, content: str,
     so --ann-capacity cannot clobber --ivf-recall's appended
     '## Clustered-corpus recall' section, and --corpus-build cannot
     clobber --corpus-scaling's '## N -> 4N scaling' section."""
+    path = _anchor(path)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     old = ""
     if os.path.exists(path):
@@ -259,14 +273,18 @@ def _update_doc_text_ledger(doc_text_s: float, n_pages: int,
     retroactive way to split engine drift from host drift; the
     calibrated column is that split, from r8 on."""
     rows = []
-    for n, _path, parsed in _round_benches():
+    recorded = _round_benches()
+    for n, _path, parsed in recorded:
         q = parsed.get("queries", {})
         if "doc_text" not in q:
             continue
         rows.append((n, q["doc_text"], parsed.get("n_pages"),
                      parsed.get("pages_per_sec"),
                      (parsed.get("calibration") or {}).get("best_s")))
-    cur_round = (rows[-1][0] + 1) if rows else 1
+    # current round = newest recorded round overall + 1, NOT the newest
+    # doc_text-bearing round — a partial newest round (no doc_text row)
+    # must not make the live run relabel itself as that round
+    cur_round = (recorded[-1][0] + 1) if recorded else 1
     rows.append((cur_round, doc_text_s, n_pages, pages_per_sec, calib_s))
     lines = [
         "## doc_text throughput ledger (per round)",
@@ -421,9 +439,15 @@ def _round_benches() -> list[tuple[int, str, dict]]:
 
     here = os.path.dirname(os.path.abspath(__file__))
     out = []
+
+    def _round_no(p: str) -> int:
+        # basename ONLY: an ancestor dir named e.g. build_r2/ would
+        # otherwise win the search and stamp every file as round 2
+        return int(re.search(r"_r(\d+)", os.path.basename(p)).group(1))
+
     for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
-                    key=lambda p: int(re.search(r"_r(\d+)", p).group(1))):
-        n = int(re.search(r"_r(\d+)", p).group(1))
+                    key=_round_no):
+        n = _round_no(p)
         try:
             with open(p) as f:
                 parsed = json.load(f)
@@ -699,7 +723,7 @@ def scaling_mode() -> None:
     thr32 = results[hi]["n_pages"] / results[hi]["t_doc_text"]
     eff = (thr32 / thr8) / 4
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    with open(_anchor("BENCH/BASELINE.md"), "w") as f:
         f.write(f"""# BENCH — measured scaling (local[{lo}] vs local[{hi}])
 
 Sandbox stand-in for N vs 4N executors (BASELINE.json north rule:
@@ -790,7 +814,7 @@ moves.
                                          for k, v in stage_eff_work.items()}}))
 
 
-_SAMPLES_PATH = os.path.join("BENCH", "scaling_samples.json")
+_SAMPLES_PATH = os.path.join(_HERE, "BENCH", "scaling_samples.json")
 
 
 def _scaling_samples_section(wall_lo: float, wall_hi: float,
@@ -872,7 +896,7 @@ the composite inherits whichever leg hit shared-host contention.
 """
 
 
-_CURATE_SAMPLES_PATH = os.path.join("BENCH", "curate_samples.json")
+_CURATE_SAMPLES_PATH = os.path.join(_HERE, "BENCH", "curate_samples.json")
 
 
 def _curate_samples_section(sample: dict) -> str:
@@ -908,8 +932,14 @@ def _render_curate_samples(samples: list, lo: int, hi: int) -> str:
     effs = [s["eff_work"] for s in samples]
     same = [s for s in samples
             if s.get("lo", lo) == lo and s.get("hi", hi) == hi]
-    floor = ((min(s["work_lo"] for s in same)
-              / min(s["work_hi"] for s in same)) / (hi // lo))
+    # a clamped-to-zero work wall (overhead >= wall, the GC-pause case
+    # curate_scaling_mode guards with NaN) must not ZeroDivision the
+    # render — once persisted it would crash every FUTURE run too
+    min_hi = min(s["work_hi"] for s in same)
+    floor_txt = (
+        f"**{(min(s['work_lo'] for s in same) / min_hi) / (hi // lo):.3f}**"
+        if min_hi > 0 else
+        "**not computable** (a sample's work-only wall clamped to 0)")
     return f"""
 ## Curate samples (multi-run ledger)
 
@@ -923,7 +953,7 @@ contention on near-identical code:
 {rows}
 
 Min-wall-per-level work-only efficiency over the {len(same)}
-same-shape samples (noise only ever ADDS wall): **{floor:.3f}**.
+same-shape samples (noise only ever ADDS wall): {floor_txt}.
 """
 
 
@@ -1323,7 +1353,7 @@ def domain_capacity_mode() -> None:
     ).collect()[0]
     wall = time.monotonic() - t0
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/DOMAIN_CAPACITY.md", "w") as f:
+    with open(_anchor("BENCH/DOMAIN_CAPACITY.md"), "w") as f:
         f.write(f"""# BENCH — registrable domain at host scale (local[{CPUS}])
 
 {n_hosts:,} DISTINCT hosts x {n_suffixes:,} literal suffixes (the real
@@ -1793,7 +1823,7 @@ def curate_scaling_mode() -> None:
 ## Curate phase, work-dominated (r8, local[{lo}] vs local[{hi}])
 
 The composed-build probe above cannot grow the curate leg past ~3 s
-(extraction costs ~70x more wall per doc), so its 0.217 "efficiency"
+(extraction costs ~70x more wall per doc), so its curate "efficiency"
 measured fixed setup, not scaling. This probe runs curate_documents
 (funnel -> host cap {host_cap} -> line dedup -> span dedup n=8 ->
 split -> deterministic shuffle -> parquet sink) directly over a
@@ -2083,7 +2113,7 @@ def skew_mode() -> None:
     spark.stop()
     ratio = skew["t_doc_text"] / even["t_doc_text"]
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/SKEW.md", "w") as f:
+    with open(_anchor("BENCH/SKEW.md"), "w") as f:
         f.write(f"""# BENCH — skewed-corpus straggler check (local[{CPUS}])
 
 Same end-to-end extraction job, same total page count; the skewed corpus
@@ -2192,7 +2222,7 @@ def capacity_mode() -> None:
     eval_small = small["t_eval"] * 1000 / small["n_items"]
     eval_big = big["t_eval"] * 1000 / big["n_items"]
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/CAPACITY.md", "w") as f:
+    with open(_anchor("BENCH/CAPACITY.md"), "w") as f:
         f.write(f"""# BENCH — capacity probe (local[{CPUS}])
 
 Same end-to-end extraction job at 1x and {replicate}x the sf0.1 corpus;
@@ -2368,7 +2398,7 @@ def dedup_capacity_mode() -> None:
     ratio_lsh = (r10["t_lsh"] / r10["n"]) / (r1["t_lsh"] / r1["n"])
     ratio_span = (r10["t_span"] / r10["n"]) / (r1["t_span"] / r1["n"])
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/DEDUP_CAPACITY.md", "w") as f:
+    with open(_anchor("BENCH/DEDUP_CAPACITY.md"), "w") as f:
         f.write(f"""# BENCH — dedup capacity probe (local[{CPUS}])
 
 Exact dedup (hash-groupBy on the narrow (xxhash64, length) key) and

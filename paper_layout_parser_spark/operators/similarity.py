@@ -54,10 +54,11 @@ def cosine(a: Column, b: Column) -> Column:
 
 def _sanitize_cos(raw: Column) -> Column:
     """Degenerate-cosine contract shared by BOTH brute-force twins: a
-    cosine that comes out NULL (NULL query or candidate embedding), NaN
-    (a NaN element riding through the fold / Arrow batch), or 0/0 from
-    a ZERO-NORM vector on either side (IEEE double division gives NaN,
-    caught here) becomes -inf, so degenerate candidates rank LAST
+    cosine that comes out NULL — NULL query or candidate embedding, OR
+    a ZERO-NORM vector on either side (``cosine`` divides with
+    try_divide, so 0/0 is NULL under Spark 4 ANSI, not IEEE NaN) — or
+    NaN (a NaN element riding through the fold / Arrow batch) becomes
+    -inf, so degenerate candidates rank LAST
     deterministically (id tie-break) under the (cos DESC, id ASC)
     window. Without this the engines disagree three ways: Spark's desc
     window ranks NaN ABOVE every double, NULL cos sorts NULLS-LAST, and
@@ -120,8 +121,9 @@ def brute_force_topk_arrow(embeddings: DataFrame, queries: DataFrame,
     local pruning is exact because it uses the same (cos DESC, id ASC)
     order as the global window. Degenerate candidates — NULL embedding,
     a cosine that comes out non-finite (NaN element riding through
-    Arrow), or a ZERO-NORM vector on either side (whose native 0/0
-    cosine is NaN) — score -inf and rank LAST with id tie-break, the
+    Arrow), or a ZERO-NORM vector on either side (whose native
+    try_divide cosine is NULL) — score -inf and rank LAST with id
+    tie-break, the
     SAME contract the native twin's _sanitize_cos enforces, so the
     twins agree row-for-row on NaN/NULL/zero-norm inputs (twin-compared
     in tests/test_round6_hardening.py and test_round8_hardening.py). NULL QUERY embeddings raise
@@ -195,9 +197,9 @@ def brute_force_topk_arrow(embeddings: DataFrame, queries: DataFrame,
                 # would rank NaN ABOVE all doubles under desc. Without
                 # the masks a zero-substituted NULL embedding or a
                 # norm-1.0-substituted zero vector would score 0
-                # (mid-ranking), while the native twin's 0/0 cosine is
-                # NaN -> -inf — the twins would diverge row-for-row
-                # on exactly those rows (r7 ADVICE)
+                # (mid-ranking), while the native twin's try_divide
+                # 0/0 cosine is NULL -> -inf — the twins would diverge
+                # row-for-row on exactly those rows (r7 ADVICE)
                 scores[~np.isfinite(scores)] = -np.inf
                 if null_mask.any():
                     scores[null_mask, :] = -np.inf

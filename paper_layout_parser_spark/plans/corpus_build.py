@@ -77,14 +77,15 @@ def curate_documents(
     ``n_tokens_removed``. Note the operator's whitespace normalization
     (tokens rejoin single-spaced). ``checkpoint=`` (a Catalog) routes to
     the span-dedup coverage materialization (operators.materialize);
-    the default (None -> lazy localCheckpoint) is deliberate even when
-    build_training_corpus has a catalog: a catalog write is EAGER, so
-    wiring it through would run the whole window-count lineage at
-    plan-construction time (billed to whichever phase constructs the
-    plan — it would corrupt the bench's extract/curate attribution) and
-    charge callers who never consume ``curated``. Deployments that need
-    the coverage cut durable against executor loss call this function
-    directly with ``checkpoint=``.
+    the default (None) runs the coverage set fully inline — no cut at
+    all since the r8 array reassembly left it a single consumer — and
+    NOT auto-wiring build_training_corpus's catalog through remains
+    deliberate: a catalog write is EAGER, so it would run the whole
+    window-count lineage at plan-construction time (billed to whichever
+    phase constructs the plan — it would corrupt the bench's
+    extract/curate attribution) and charge callers who never consume
+    ``curated``. Deployments that need the coverage set durable against
+    executor loss call this function directly with ``checkpoint=``.
 
     ``host_cap=N`` keeps at most N surviving documents per host
     (curation.cap_per_host — the RefinedWeb per-domain guard), applied

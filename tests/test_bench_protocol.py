@@ -281,3 +281,15 @@ def test_update_doc_text_ledger_writes_readme(tmp_path, monkeypatch):
     assert "| r7 | 14.10 | 2539 | 180.0 | — | — |" in text
     # current run calibrates at exactly the reference box -> raw == calib
     assert "| r8 | 12.50 | 2539 | 203.1 | " in text and "| 203.1 |" in text
+
+
+def test_render_curate_samples_survives_zero_work_wall():
+    # a clamped-to-zero work_hi (overhead >= wall) must not crash the
+    # render — once persisted it would crash every future run too
+    samples = [
+        {"label": "s1", "lo": 4, "hi": 16, "work_lo": 1.0,
+         "work_hi": 0.0, "eff_work": float("nan"),
+         "binding": "funnel", "binding_leg_s": 0.5},
+    ]
+    sec = bench._render_curate_samples(samples, 4, 16)
+    assert "not computable" in sec
