@@ -740,6 +740,13 @@ match + assemble) on the same input ({SF_DIR} x{replicate},
 **Scaling efficiency (throughput@{hi} / throughput@{lo}) / 4 = {eff:.3f}**
 (target >= 0.8; 1.0 = perfect linear scaling)
 
+This headline is ONE composite sample on a shared box; same-code
+composites have measured 0.69-1.17 across rounds, so a single number
+above or below target adjudicates nothing by itself. The
+contention-robust signals are the dominant-stage work efficiency
+(per-stage table below) and the min-wall-per-leg composite over all
+recorded samples (ledger at the bottom).
+
 ## Per-stage attribution, overhead-subtracted (r7)
 
 Each stage timed against its PERSISTED upstream (own work only, not
