@@ -537,9 +537,15 @@ def _apply_recheck(v: dict, recheck_s: float) -> None:
     v["recheck_s"] = round(recheck_s, 3)
     norm = recheck_s / v.get("host_ratio", 1.0)
     delta = (norm - v["prev"]) / v["prev"]
-    v["verdict_final"] = ("noise-on-recheck"
-                          if abs(delta) * 100 <= v["band_pct"]
-                          else "regression-confirmed")
+    # ONE-SIDED: a regression only confirms if the isolated run is still
+    # SLOWER than prev by more than the band. An isolated run that comes
+    # back faster-than-prev out of band (the composite run hit
+    # contention; e.g. three concurrent Spark jobs on one box) is noise
+    # for regression purposes, not a confirmed regression — the old
+    # abs() check labeled exactly that case "regression-confirmed".
+    v["verdict_final"] = ("regression-confirmed"
+                          if delta * 100 > v["band_pct"]
+                          else "noise-on-recheck")
 
 
 def _recheck_regressions(vs_prev: dict, pages_path: str | None = None) -> None:

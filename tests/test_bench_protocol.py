@@ -87,6 +87,11 @@ def test_apply_recheck_noise_and_confirmed():
     v2 = bench._delta_verdict(cur=13.0, prev=10.0, band=0.20)
     bench._apply_recheck(v2, recheck_s=12.9)     # reproduces in isolation
     assert v2["verdict_final"] == "regression-confirmed"
+    # one-sided: an isolated run FASTER than prev out of band means the
+    # composite run hit contention — noise, never a confirmed regression
+    v3 = bench._delta_verdict(cur=13.0, prev=10.0, band=0.20)
+    bench._apply_recheck(v3, recheck_s=4.9)
+    assert v3["verdict_final"] == "noise-on-recheck"
 
 
 def test_apply_recheck_uses_host_ratio():
