@@ -23,6 +23,7 @@ writes BENCH/SKEW.md.
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -728,7 +729,7 @@ def scaling_mode() -> None:
     thr8 = results[lo]["n_pages"] / results[lo]["t_doc_text"]
     thr32 = results[hi]["n_pages"] / results[hi]["t_doc_text"]
     eff = (thr32 / thr8) / 4
-    os.makedirs("BENCH", exist_ok=True)
+    os.makedirs(_anchor("BENCH"), exist_ok=True)
     with open(_anchor("BENCH/BASELINE.md"), "w") as f:
         f.write(f"""# BENCH — measured scaling (local[{lo}] vs local[{hi}])
 
@@ -830,6 +831,41 @@ moves.
 _SAMPLES_PATH = os.path.join(_HERE, "BENCH", "scaling_samples.json")
 
 
+def _append_ledger(path: str, sample: dict) -> list:
+    """Shared load-append-dump for the persistent sample ledgers
+    (scaling_samples.json, curate_samples.json) with two guarantees the
+    per-ledger copies lacked: a corrupt/truncated file is PRESERVED
+    aside (renamed to <path>.corrupt) instead of silently reset to [] —
+    the recorded history is exactly the artifact the ledgers exist to
+    protect — and the write is atomic (tmp + os.replace), so a run
+    killed mid-dump can never leave truncated JSON behind in the first
+    place. Non-finite floats in the sample are nulled before the dump
+    (json.dump's default emits literal NaN — not RFC JSON — and a NaN
+    row would poison every future render's min/max spread). Labels the
+    new sample s<N over all recorded rows> and returns the full list."""
+    path = _anchor(path)
+    samples = []
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                samples = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            corrupt = path + ".corrupt"
+            os.replace(path, corrupt)
+            print(f"WARNING: unreadable ledger preserved as {corrupt}; "
+                  "starting a fresh ledger — restore rows from it "
+                  "manually if the history matters", file=sys.stderr)
+    clean = {k: (None if isinstance(v, float) and not math.isfinite(v)
+                 else v)
+             for k, v in sample.items()}
+    samples.append({"label": f"s{len(samples) + 1}", **clean})
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(samples, f, indent=1)
+    os.replace(tmp, path)
+    return samples
+
+
 def _scaling_samples_section(wall_lo: float, wall_hi: float,
                              composite: float, dom_raw: float,
                              dom_work: float | None,
@@ -841,22 +877,12 @@ def _scaling_samples_section(wall_lo: float, wall_hi: float,
     full-file rewrite (the ADVICE r7 rewrite/append hazard) — samples
     now persist as data and the narrative derives from them, so a
     re-run ADDS a row instead of erasing history."""
-    samples = []
-    if os.path.exists(_SAMPLES_PATH):
-        try:
-            with open(_SAMPLES_PATH) as f:
-                samples = json.load(f)
-        except (json.JSONDecodeError, OSError):
-            samples = []
-    samples.append({
-        "label": f"s{len(samples) + 1}",
+    samples = _append_ledger(_SAMPLES_PATH, {
         "lo": lo, "hi": hi, "dominant": dominant,
         "wall_lo": round(wall_lo, 2), "wall_hi": round(wall_hi, 2),
         "composite": round(composite, 3), "dom_raw": round(dom_raw, 3),
         "dom_work": round(dom_work, 3) if dom_work is not None else None,
     })
-    with open(_SAMPLES_PATH, "w") as f:
-        json.dump(samples, f, indent=1)
     return _render_scaling_samples(samples, lo, hi, dominant)
 
 
@@ -920,29 +946,31 @@ def _curate_samples_section(sample: dict) -> str:
     0.629-0.686 on near-identical code), so the spread is reported and
     the contention-robust number is the min-wall-per-level floor
     (noise only ever ADDS wall)."""
-    samples = []
-    if os.path.exists(_CURATE_SAMPLES_PATH):
-        try:
-            with open(_CURATE_SAMPLES_PATH) as f:
-                samples = json.load(f)
-        except (json.JSONDecodeError, OSError):
-            samples = []
-    samples.append({"label": f"s{len(samples) + 1}", **sample})
-    with open(_CURATE_SAMPLES_PATH, "w") as f:
-        json.dump(samples, f, indent=1)
+    samples = _append_ledger(_CURATE_SAMPLES_PATH, sample)
     return _render_curate_samples(samples, sample["lo"], sample["hi"])
 
 
 def _render_curate_samples(samples: list, lo: int, hi: int) -> str:
     """Pure render (no append) so the section regenerates from the
     recorded JSON; every row renders under its own shape and note."""
+    def _finite(v):
+        return v is not None and not (isinstance(v, float)
+                                      and not math.isfinite(v))
+
+    def eff_cell(s):
+        # a degenerate sample (work wall clamped to 0) records eff_work
+        # null (legacy rows: NaN) — render n/a, keep it out of the spread
+        v = s.get("eff_work")
+        return f"{v:.3f}" if _finite(v) else "n/a"
+
     rows = "\n".join(
         f"| {s['label']} | {s.get('lo', lo)}→{s.get('hi', hi)} | "
         f"{s['work_lo']:.2f} | {s['work_hi']:.2f} | "
-        f"{s['eff_work']:.3f} | {s['binding']} "
+        f"{eff_cell(s)} | {s['binding']} "
         f"{s['binding_leg_s']:.1f}s | {s.get('note', '')} |"
         for s in samples)
-    effs = [s["eff_work"] for s in samples]
+    effs = [s["eff_work"] for s in samples
+            if _finite(s.get("eff_work"))] or [float("nan")]
     same = [s for s in samples
             if s.get("lo", lo) == lo and s.get("hi", hi) == hi]
     # a clamped-to-zero work wall (overhead >= wall, the GC-pause case
@@ -1127,7 +1155,7 @@ def ann_capacity_mode() -> None:
     r256, r1024 = results[256], results[1024]
     train_ratio = r1024["t_train"] / r256["t_train"]
     assign_ratio = r1024["t_arrow"] / r256["t_arrow"]
-    os.makedirs("BENCH", exist_ok=True)
+    os.makedirs(_anchor("BENCH"), exist_ok=True)
     # full rewrite of THIS mode's content, but --ivf-recall appends its
     # own section to the same file — re-splice it (ADVICE r7)
     _rewrite_preserving("BENCH/ANN_CAPACITY.md", f"""# BENCH — IVF at realistic width (local[{CPUS}])
@@ -1365,7 +1393,7 @@ def domain_capacity_mode() -> None:
         F.countDistinct("domain").alias("n_distinct"),
     ).collect()[0]
     wall = time.monotonic() - t0
-    os.makedirs("BENCH", exist_ok=True)
+    os.makedirs(_anchor("BENCH"), exist_ok=True)
     with open(_anchor("BENCH/DOMAIN_CAPACITY.md"), "w") as f:
         f.write(f"""# BENCH — registrable domain at host scale (local[{CPUS}])
 
@@ -1452,7 +1480,7 @@ def corpus_build_mode() -> None:
         n_out = written.count()
         n_in = out.extracted.count()
         total = t_extract + t_curate
-        os.makedirs("BENCH", exist_ok=True)
+        os.makedirs(_anchor("BENCH"), exist_ok=True)
         # --corpus-scaling and --curate-scaling append their own sections
         # to this file — a full rewrite must re-splice them (ADVICE r7)
         _rewrite_preserving("BENCH/CORPUS_BUILD.md", f"""# BENCH — composed corpus build (local[{CPUS}], {SF_DIR})
@@ -1820,7 +1848,12 @@ def curate_scaling_mode() -> None:
     # overhead pass must not produce a negative work wall / efficiency
     work_lo = max(rlo["wall"] - rlo["overhead"], 0.0)
     work_hi = max(rhi["wall"] - rhi["overhead"], 0.0)
-    eff_work = (work_lo / work_hi) / 4 if work_hi > 0 else float("nan")
+    # None (JSON null), not NaN: the ledger dump must stay RFC JSON and
+    # the renderer's min/max spread must not see a NaN (order-dependent)
+    eff_work = (work_lo / work_hi) / 4 if work_hi > 0 else None
+    eff_work_r = round(eff_work, 3) if eff_work is not None else None
+    eff_work_txt = (f"{eff_work:.3f}" if eff_work is not None
+                    else "n/a (work wall clamped to 0)")
     cum = results["legs"]
     deltas = {}
     prev = 0.0
@@ -1852,7 +1885,7 @@ for the work-only efficiency.
 | local[{lo}] | {rlo['wall']:.2f} | {rlo['overhead']:.2f} | {work_lo:.2f} | {n_docs / rlo['wall']:,.0f} |
 | local[{hi}] | {rhi['wall']:.2f} | {rhi['overhead']:.2f} | {work_hi:.2f} | {n_docs / rhi['wall']:,.0f} |
 
-**Raw efficiency {eff_raw:.3f}; overhead-subtracted {eff_work:.3f}**
+**Raw efficiency {eff_raw:.3f}; overhead-subtracted {eff_work_txt}**
 ({rlo['n_out']:,} docs out at both levels).
 
 Leg attribution at local[{lo}] (incremental graphs, each timed to its
@@ -1887,12 +1920,12 @@ amortizes to nothing at real corpus sizes.
         _curate_samples_section({
             "lo": lo, "hi": hi,
             "work_lo": round(work_lo, 2), "work_hi": round(work_hi, 2),
-            "eff_work": round(eff_work, 3), "binding": binding,
+            "eff_work": eff_work_r, "binding": binding,
             "binding_leg_s": round(deltas[binding], 2),
         }))
     print(json.dumps({
         "eff_curate_raw": round(eff_raw, 3),
-        "eff_curate_work": round(eff_work, 3),
+        "eff_curate_work": eff_work_r,
         "wall_lo_s": round(rlo["wall"], 2),
         "wall_hi_s": round(rhi["wall"], 2),
         "overhead_lo_s": round(rlo["overhead"], 2),
@@ -2125,7 +2158,7 @@ def skew_mode() -> None:
     asof = asof_skew_probe(spark)
     spark.stop()
     ratio = skew["t_doc_text"] / even["t_doc_text"]
-    os.makedirs("BENCH", exist_ok=True)
+    os.makedirs(_anchor("BENCH"), exist_ok=True)
     with open(_anchor("BENCH/SKEW.md"), "w") as f:
         f.write(f"""# BENCH — skewed-corpus straggler check (local[{CPUS}])
 
@@ -2234,7 +2267,7 @@ def capacity_mode() -> None:
     match_big = big["t_caption_match"] * 1000 / big["n_items"]
     eval_small = small["t_eval"] * 1000 / small["n_items"]
     eval_big = big["t_eval"] * 1000 / big["n_items"]
-    os.makedirs("BENCH", exist_ok=True)
+    os.makedirs(_anchor("BENCH"), exist_ok=True)
     with open(_anchor("BENCH/CAPACITY.md"), "w") as f:
         f.write(f"""# BENCH — capacity probe (local[{CPUS}])
 
@@ -2410,7 +2443,7 @@ def dedup_capacity_mode() -> None:
     ratio_exact = (r10["t_exact"] / r10["n"]) / (r1["t_exact"] / r1["n"])
     ratio_lsh = (r10["t_lsh"] / r10["n"]) / (r1["t_lsh"] / r1["n"])
     ratio_span = (r10["t_span"] / r10["n"]) / (r1["t_span"] / r1["n"])
-    os.makedirs("BENCH", exist_ok=True)
+    os.makedirs(_anchor("BENCH"), exist_ok=True)
     with open(_anchor("BENCH/DEDUP_CAPACITY.md"), "w") as f:
         f.write(f"""# BENCH — dedup capacity probe (local[{CPUS}])
 

@@ -298,3 +298,44 @@ def test_render_curate_samples_survives_zero_work_wall():
     ]
     sec = bench._render_curate_samples(samples, 4, 16)
     assert "not computable" in sec
+
+
+def test_append_ledger_preserves_corrupt_file(tmp_path):
+    # a truncated/corrupt ledger must be preserved aside, never silently
+    # reset — the recorded history IS the artifact the ledger protects
+    path = str(tmp_path / "ledger.json")
+    with open(path, "w") as f:
+        f.write('[{"label": "s1", "truncat')
+    out = bench._append_ledger(path, {"x": 1})
+    assert [s["label"] for s in out] == ["s1"]
+    corrupt = open(path + ".corrupt").read()
+    assert corrupt.startswith('[{"label": "s1", "truncat')
+    import json as _json
+    assert _json.load(open(path)) == [{"label": "s1", "x": 1}]
+
+
+def test_append_ledger_appends_labels_and_nulls_non_finite(tmp_path):
+    path = str(tmp_path / "ledger.json")
+    bench._append_ledger(path, {"eff": 0.7})
+    out = bench._append_ledger(path, {"eff": float("nan")})
+    import json as _json
+    rows = _json.load(open(path))          # strict-JSON parseable
+    assert [s["label"] for s in rows] == ["s1", "s2"]
+    assert rows[1]["eff"] is None          # NaN nulled, not emitted
+    assert out == rows
+    assert not os.path.exists(path + ".tmp")
+
+
+def test_render_curate_samples_null_eff_row_is_na(tmp_path):
+    # a persisted null-eff row renders n/a and stays out of the spread
+    samples = [
+        {"label": "s1", "lo": 4, "hi": 16, "work_lo": 28.0,
+         "work_hi": 10.0, "eff_work": 0.7, "binding": "funnel",
+         "binding_leg_s": 9.0},
+        {"label": "s2", "lo": 4, "hi": 16, "work_lo": 1.0,
+         "work_hi": 0.5, "eff_work": None, "binding": "funnel",
+         "binding_leg_s": 0.5},
+    ]
+    sec = bench._render_curate_samples(samples, 4, 16)
+    assert "| n/a | funnel 0.5s |" in sec
+    assert "0.70-0.70" in sec
