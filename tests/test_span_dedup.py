@@ -197,3 +197,53 @@ def test_null_id_touched_doc_matches_oracle(spark):
     assert got == want
     # and the NULL-id doc really was touched (non-vacuous)
     assert got[None][1] > 0
+
+
+@pytest.mark.parametrize("seed,n", [(0, 3), (1, 5), (2, 4)])
+def test_random_corpus_matches_duckdb(spark, seed, n):
+    """Seeded randomized corpora over a TINY vocabulary (8 words, doc
+    lengths 0-18) so duplicated windows arise naturally and interact:
+    overlapping covered spans, within-doc repeats, fully-covered docs,
+    sub-n docs, NULL/empty/whitespace-only texts and a NULL id all in
+    one corpus — the full output (text + removal count) must match the
+    shared DuckDB oracle row-for-row. Catches reassembly edge cases no
+    hand-planted fixture enumerates."""
+    import random
+
+    import duckdb as _dd
+
+    rng = random.Random(seed)
+    # 4-word vocabulary: 4^5=1024 possible 5-grams against ~500 windows
+    # in the corpus, so duplicated windows are near-certain at every n
+    # (an 8-word vocab left seed 1 with zero repeated 5-grams and the
+    # non-vacuity guard below failed)
+    vocab = ["ab", "cd", "ef", "gh"]
+    rows = []
+    for i in range(40):
+        r = rng.random()
+        if r < 0.05:
+            text = None
+        elif r < 0.10:
+            text = ""
+        elif r < 0.15:
+            text = " \t\n"
+        else:
+            words = [rng.choice(vocab)
+                     for _ in range(rng.randrange(0, 19))]
+            # random gnarly whitespace wrapping on a fifth of docs:
+            # untouched ones must come back byte-identical anyway
+            text = " ".join(words)
+            if rng.random() < 0.2:
+                text = "\n " + text.replace(" ", "  ", 1) + "\t"
+        rows.append((None if i == 17 else i, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["deduped_text"], r["n_tokens_removed"])
+           for r in remove_duplicate_spans(df, n=n).collect()}
+    con = _dd.connect()
+    con.sql("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {r[0]: (r[1], r[2])
+            for r in con.sql(_oracle_sql(n, 2)).fetchall()}
+    assert got == want
+    # non-vacuous: the tiny vocabulary must actually produce removals
+    assert any(nr > 0 for _, nr in got.values())
