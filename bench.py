@@ -841,28 +841,49 @@ def _append_ledger(path: str, sample: dict) -> list:
     killed mid-dump can never leave truncated JSON behind in the first
     place. Non-finite floats in the sample are nulled before the dump
     (json.dump's default emits literal NaN — not RFC JSON — and a NaN
-    row would poison every future render's min/max spread). Labels the
-    new sample s<N over all recorded rows> and returns the full list."""
+    row would poison every future render's min/max spread). The whole
+    read-modify-write holds an exclusive flock on <path>.lock so two
+    concurrent bench runs on one box (the s4 curate-ledger incident)
+    cannot each load the same history and silently drop the other's
+    row. Labels the new sample s<N over all recorded rows> and returns
+    the full list."""
+    import fcntl
+
     path = _anchor(path)
-    samples = []
-    if os.path.exists(path):
-        try:
-            with open(path) as f:
-                samples = json.load(f)
-        except (json.JSONDecodeError, OSError):
-            corrupt = path + ".corrupt"
-            os.replace(path, corrupt)
-            print(f"WARNING: unreadable ledger preserved as {corrupt}; "
-                  "starting a fresh ledger — restore rows from it "
-                  "manually if the history matters", file=sys.stderr)
-    clean = {k: (None if isinstance(v, float) and not math.isfinite(v)
-                 else v)
-             for k, v in sample.items()}
-    samples.append({"label": f"s{len(samples) + 1}", **clean})
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(samples, f, indent=1)
-    os.replace(tmp, path)
+    with open(path + ".lock", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        samples = []
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    samples = json.load(f)
+                if not isinstance(samples, list):
+                    raise ValueError("ledger is not a JSON list")
+            except (ValueError, OSError):
+                # ValueError covers JSONDecodeError, UnicodeDecodeError
+                # (binary corruption), and the non-list case above.
+                # Preserve under a name no earlier incident holds —
+                # clobbering a prior .corrupt would destroy the exact
+                # history this guard exists to protect.
+                corrupt = path + ".corrupt"
+                i = 1
+                while os.path.exists(corrupt):
+                    i += 1
+                    corrupt = f"{path}.corrupt.{i}"
+                os.replace(path, corrupt)
+                print(f"WARNING: unreadable ledger preserved as "
+                      f"{corrupt}; starting a fresh ledger — restore "
+                      "rows from it manually if the history matters",
+                      file=sys.stderr)
+                samples = []
+        clean = {k: (None if isinstance(v, float)
+                     and not math.isfinite(v) else v)
+                 for k, v in sample.items()}
+        samples.append({"label": f"s{len(samples) + 1}", **clean})
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(samples, f, indent=1)
+        os.replace(tmp, path)
     return samples
 
 
@@ -970,7 +991,9 @@ def _render_curate_samples(samples: list, lo: int, hi: int) -> str:
         f"{s['binding_leg_s']:.1f}s | {s.get('note', '')} |"
         for s in samples)
     effs = [s["eff_work"] for s in samples
-            if _finite(s.get("eff_work"))] or [float("nan")]
+            if _finite(s.get("eff_work"))]
+    spread_txt = (f"{min(effs):.2f}-{max(effs):.2f}" if effs
+                  else "n/a (no sample with a finite work efficiency)")
     same = [s for s in samples
             if s.get("lo", lo) == lo and s.get("hi", hi) == hi]
     # a clamped-to-zero work wall (overhead >= wall, the GC-pause case
@@ -986,7 +1009,7 @@ def _render_curate_samples(samples: list, lo: int, hi: int) -> str:
 
 Every `--curate-scaling` run appends here
 (BENCH/curate_samples.json); the spread IS the protocol — a single
-sample's efficiency moves {min(effs):.2f}-{max(effs):.2f} with host
+sample's efficiency moves {spread_txt} with host
 contention on near-identical code:
 
 | sample | shape (N→4N) | work-only @N (s) | work-only @4N (s) | work eff | binding leg @N | note |

@@ -326,7 +326,7 @@ def test_append_ledger_appends_labels_and_nulls_non_finite(tmp_path):
     assert not os.path.exists(path + ".tmp")
 
 
-def test_render_curate_samples_null_eff_row_is_na(tmp_path):
+def test_render_curate_samples_null_eff_row_is_na():
     # a persisted null-eff row renders n/a and stays out of the spread
     samples = [
         {"label": "s1", "lo": 4, "hi": 16, "work_lo": 28.0,
@@ -339,3 +339,33 @@ def test_render_curate_samples_null_eff_row_is_na(tmp_path):
     sec = bench._render_curate_samples(samples, 4, 16)
     assert "| n/a | funnel 0.5s |" in sec
     assert "0.70-0.70" in sec
+
+
+def test_append_ledger_preserves_binary_and_non_list_corruption(tmp_path):
+    # UnicodeDecodeError (binary corruption) and valid-JSON-non-list
+    # content are corruption too — preserved aside, never a crash, and
+    # a SECOND incident must not clobber the first .corrupt file
+    path = str(tmp_path / "ledger.json")
+    with open(path, "wb") as f:
+        f.write(b"\xff\xfe garbage")
+    out = bench._append_ledger(path, {"x": 1})
+    assert [s["label"] for s in out] == ["s1"]
+    assert os.path.exists(path + ".corrupt")
+    with open(path, "w") as f:
+        f.write('{"not": "a list"}')
+    out = bench._append_ledger(path, {"x": 2})
+    assert [s["label"] for s in out] == ["s1"]
+    assert open(path + ".corrupt", "rb").read().startswith(b"\xff\xfe")
+    assert open(path + ".corrupt.2").read() == '{"not": "a list"}'
+
+
+def test_render_curate_samples_all_rows_degenerate():
+    # every recorded row null-eff -> the spread renders n/a, not nan-nan
+    samples = [
+        {"label": "s1", "lo": 4, "hi": 16, "work_lo": 1.0,
+         "work_hi": 0.0, "eff_work": None, "binding": "funnel",
+         "binding_leg_s": 0.5},
+    ]
+    sec = bench._render_curate_samples(samples, 4, 16)
+    assert "n/a (no sample with a finite work efficiency)" in sec
+    assert "nan" not in sec

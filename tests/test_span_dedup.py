@@ -201,7 +201,7 @@ def test_null_id_touched_doc_matches_oracle(spark):
 
 @pytest.mark.parametrize("seed,n", [(0, 3), (1, 5), (2, 4)])
 def test_random_corpus_matches_duckdb(spark, seed, n):
-    """Seeded randomized corpora over a TINY vocabulary (8 words, doc
+    """Seeded randomized corpora over a TINY vocabulary (4 words, doc
     lengths 0-18) so duplicated windows arise naturally and interact:
     overlapping covered spans, within-doc repeats, fully-covered docs,
     sub-n docs, NULL/empty/whitespace-only texts and a NULL id all in
