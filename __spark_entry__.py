@@ -959,7 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _RH4 = lambda e: sd.sql_round_half_up(e, 4)  # noqa: E731
 _RH6 = lambda e: sd.sql_round_half_up(e, 6)  # noqa: E731
 
-_W = "string_split_regex(trim(text), '\\s+')"
+_W = f"string_split_regex(trim(text), '{tfn.WS_SPLIT}')"
 _SHINGLES = tfn.shingles_sql("w", 3)
 
 
@@ -989,7 +989,7 @@ WITH d AS (
          length(text) AS n_chars,
          len({_W}) AS n_words,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
-         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
+         length(regexp_replace(text, '[A-Za-z0-9{tfn.WS_IN_CLASS}]', '', 'g')) AS n_punct
   FROM documents
 ),
 f AS (
@@ -1489,7 +1489,7 @@ base AS (
 grams AS (
   SELECT doc_id, chars, unnest({sh2}) AS gram
   FROM (SELECT doc_id, length(t) AS chars,
-               string_split_regex(trim(t), '\\s+') AS w FROM n)
+               string_split_regex(trim(t), '{tfn.WS_SPLIT}') AS w FROM n)
 ),
 cnts AS (SELECT doc_id, chars, gram, count(*) AS cnt
          FROM grams GROUP BY 1, 2, 3),
@@ -1536,7 +1536,7 @@ def _pack_sql(max_tokens: int = 256, num_buckets: int = 8) -> str:
     b = bucket_sql("doc_id", num_buckets)
     # split('') yields [''] — mirror the Spark side's explicit zeroing of
     # empty/whitespace-only docs (regex, not trim: trim strips only spaces)
-    ntok = (r"CASE WHEN regexp_matches(text, '^\s*$') THEN 0 "
+    ntok = (f"CASE WHEN regexp_matches(text, '^{tfn.WS_CLASS}*$') THEN 0 "
             f"ELSE len({_W}) END")
     return f"""
 WITH t AS (

@@ -14,9 +14,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# shared regexes (dialect-neutral: same semantics in Spark and DuckDB RE2-ish)
+# shared regexes. Dialect-neutral requires spelling whitespace out:
+# Java's \s includes \x0B, RE2's (DuckDB) does not — a bare \s here
+# would let `,\x0B}` repair differently in the engine and its oracle.
 FENCE_RE = r"```[a-zA-Z]*"
-TRAILING_COMMA_RE = r",\s*([}\]])"
+TRAILING_COMMA_RE = r",[ \t\n\x0B\f\r]*([}\]])"
 
 
 def repair_json(raw: Column) -> Column:
@@ -42,7 +44,8 @@ def repair_json_sql(expr: str) -> str:
     sliced = (f"(CASE WHEN {start} > 0 AND {end} >= {start} "
               f"THEN substring({no_fence}, {start}, {end} - {start} + 1) "
               f"ELSE {no_fence} END)")
-    return f"regexp_replace({sliced}, ',\\s*([}}\\]])', '\\1', 'g')"
+    return (f"regexp_replace({sliced}, '{TRAILING_COMMA_RE}', "
+            f"'\\1', 'g')")
 
 
 def parse_vlm_response(raw: Column, schema: str) -> Column:

@@ -11,9 +11,18 @@ from pyspark.sql import functions as F
 
 from .geometry import round_half_up
 
-# regexes shared verbatim with the DuckDB oracle (keep dialect-neutral)
-WS_SPLIT = r"\s+"
-BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# regexes shared verbatim with the DuckDB oracle. "Dialect-neutral"
+# requires spelling whitespace OUT: Java's \s (no UNICODE flag) is
+# exactly [ \t\n\x0B\f\r] but RE2 — DuckDB's engine — EXCLUDES \x0B
+# from \s, so a bare \s in any twinned pattern silently diverges on
+# vertical-tab-bearing text (caught by the r8 unicode fuzz,
+# tests/test_quality_fuzz.py). Both engines parse the explicit class
+# identically; the Spark-side semantics are unchanged (the class IS
+# Java's \s set).
+WS_IN_CLASS = r" \t\n\x0B\f\r"
+WS_CLASS = "[" + WS_IN_CLASS + "]"
+WS_SPLIT = WS_CLASS + "+"
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9" + WS_IN_CLASS + "]"
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
 

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.geometry import round_half_up
-from ..functions.text import shingles, words
+from ..functions.text import WS_SPLIT, shingles, words
 
 DEFAULT_SHINGLE_K = 3
 
@@ -517,7 +517,9 @@ def remove_duplicate_spans(docs: DataFrame, n: int = 8,
     # stray tokens. The filter also zeroes empty docs (split('') == [''],
     # the r3 lesson) with no special case.
     w = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        # WS_SPLIT spells out Java's \s set so the DuckDB twin can
+        # share the pattern verbatim (RE2's \s excludes \x0B)
+        F.split(F.coalesce(F.col(text_col), F.lit("")), WS_SPLIT),
         lambda x: x != "",
     )
     d = docs.select(F.col(id_col).alias("__id"), w.alias("__w"))

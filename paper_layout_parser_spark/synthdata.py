@@ -589,6 +589,15 @@ def clustered_embeddings(spark, n: int, dim: int, n_clusters: int,
     )
 
 
+def _ws_split() -> str:
+    """The explicit Java-\\s-equivalent split class shared with the
+    engine (functions.text.WS_SPLIT): RE2's \\s excludes \\x0B, so the
+    oracle must not use a bare \\s where the Spark side uses Java's."""
+    from paper_layout_parser_spark.functions.text import WS_SPLIT
+
+    return WS_SPLIT
+
+
 def span_dedup_oracle_sql(n: int, min_count: int,
                           docs_table: str = "documents") -> str:
     """DuckDB oracle for operators.dedup.remove_duplicate_spans — ONE
@@ -610,7 +619,7 @@ def span_dedup_oracle_sql(n: int, min_count: int,
     return f"""
 WITH dw AS (
   SELECT doc_id, text,
-         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+         list_filter(string_split_regex(coalesce(text, ''), '{_ws_split()}'),
                      x -> x <> '') AS w
   FROM {docs_table}
 ),
