@@ -52,9 +52,14 @@ def url_host_sql(expr: str) -> str:
     SQL twin shares (canonical_url_sql, curation.cap_per_host_sql), so
     the engine-portability-critical pattern cannot drift between private
     copies. Matches Spark's parse_url HOST for well-formed absolute URLs:
-    credentials (``user:pw@``) and port stripped, lowercased."""
+    credentials (``user:pw@``) and port stripped, lowercased. The
+    bracketed-IPv6 alternative comes first: ``[::1]`` contains colons,
+    so the bare ``[^/:?#]+`` arm alone truncated ``http://[::1]:8080/``
+    to ``[`` while Spark's parse_url returned ``[::1]`` (caught by the
+    r8 URL parity fuzz)."""
     return ("lower(regexp_extract(" + expr +
-            ", '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/?#]*@)?([^/:?#]+)', 1))")
+            ", '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/?#]*@)?"
+            "(\\[[^\\]/?#]*\\]|[^/:?#]+)', 1))")
 
 
 def canonical_url_sql(expr: str) -> str:
@@ -63,7 +68,12 @@ def canonical_url_sql(expr: str) -> str:
     host = url_host_sql(expr)
     path = (f"regexp_replace(regexp_extract({expr}, "
             f"'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$', '')")
-    query = f"regexp_extract({expr}, '\\?([^#]*)', 1)"
+    # first '?' BEFORE any '#': a bare \\?([^#]*) matched a '?' living
+    # inside the fragment ('...#f?x=1' -> phantom query 'x=1') where
+    # Spark's parser sees no query at all (r8 URL parity fuzz). The
+    # [^#?]* prefix pins the match to the first pre-fragment '?' while
+    # the capture still spans later '?'s ('/p??x=1' -> '?x=1').
+    query = f"regexp_extract({expr}, '^[^#?]*\\?([^#]*)', 1)"
     kept = (f"list_filter(string_split({query}, '&'), "
             f"x -> NOT starts_with(x, '{TRACKING_PREFIX}'))")
     qs = f"array_to_string({kept}, '&')"
