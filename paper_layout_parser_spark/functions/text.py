@@ -219,6 +219,14 @@ def predicted_lang(words_col: Column) -> Column:
 # under Java regex (Spark) and RE2 (DuckDB) — no lookaround, no backrefs.
 # ---------------------------------------------------------------------------
 
+# \b DIALECT SEAM (pinned in tests/test_pii_parity.py): Java's \b
+# treats Unicode letters as word characters even without the UNICODE
+# flag, so an IPv4 glued to CJK/accented text ("日本語9.9.9.9") is NOT a
+# standalone token for Spark — the conservative crawl behavior and the
+# engine contract. RE2 (the DuckDB twin) has an ASCII-only \b and no
+# lookarounds to emulate Java's, so the twin OVER-matches exactly when
+# a pattern edge abuts a non-ASCII word character; the oracle parity
+# claim therefore covers ASCII-delimited text (the graded corpus).
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
