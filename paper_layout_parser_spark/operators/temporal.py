@@ -50,11 +50,18 @@ def asof_join(
     it otherwise (several right rows sharing the boundary timestamp make
     "the" as-of row ambiguous in any engine).
 
-    NULL keys/timestamps follow SQL join semantics (DuckDB ASOF never
-    matches NULLs): right rows with a NULL key or NULL ts are dropped from
-    the matchable side, and left rows with a NULL key or NULL ts come back
-    unmatched — NOT matched to each other, which is what a naive window
-    partitioning would do (partitionBy groups NULLs together).
+    NULL keys/timestamps follow STRICT SQL join semantics: right rows
+    with a NULL key or NULL ts are dropped from the matchable side, and
+    left rows with a NULL key or NULL ts come back unmatched — NOT
+    matched to each other, which is what a naive window partitioning
+    would do (partitionBy groups NULLs together). Note DuckDB's native
+    ASOF is NOT the reference for the NULL-ts case: measured on DuckDB
+    1.0, it treats a NULL timestamp as a sortable extreme — a NULL-ts
+    left row pairs with a NULL-ts right row on the same key, and with
+    the key's LATEST real right row otherwise (NULL keys never match;
+    NULL timestamps do) — so an ASOF oracle for this operator must
+    pre-filter NULL-ts rows on BOTH sides and re-attach NULL-ts left
+    rows unmatched (pinned in tests/test_asof_fuzz.py).
 
     Scale note (hot keys): the window serializes each key's merged
     timeline into ONE partition — inherent to any as-of ordering. A single
