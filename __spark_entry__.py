@@ -959,7 +959,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _RH4 = lambda e: sd.sql_round_half_up(e, 4)  # noqa: E731
 _RH6 = lambda e: sd.sql_round_half_up(e, 6)  # noqa: E731
 
-_W = f"string_split_regex(trim(text), '{tfn.WS_SPLIT}')"
+# trim(text, ' '): DuckDB's default trim strips UNICODE whitespace
+# (NBSP included) while Spark's F.trim strips ASCII space only — an
+# NBSP-leading document tokenizes differently unless the oracle pins
+# the trim set to the single space character (r8 fingerprint fuzz).
+_W = f"string_split_regex(trim(text, ' '), '{tfn.WS_SPLIT}')"
 _SHINGLES = tfn.shingles_sql("w", 3)
 
 
@@ -1489,7 +1493,7 @@ base AS (
 grams AS (
   SELECT doc_id, chars, unnest({sh2}) AS gram
   FROM (SELECT doc_id, length(t) AS chars,
-               string_split_regex(trim(t), '{tfn.WS_SPLIT}') AS w FROM n)
+               string_split_regex(trim(t, ' '), '{tfn.WS_SPLIT}') AS w FROM n)
 ),
 cnts AS (SELECT doc_id, chars, gram, count(*) AS cnt
          FROM grams GROUP BY 1, 2, 3),

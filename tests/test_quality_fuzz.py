@@ -52,6 +52,15 @@ def _random_text(rng: random.Random) -> str | None:
         if i:
             out.append(rng.choice(WS))
         out.append(rng.choice(POOL))
+    # leading/trailing NBSP locks the trim contract: Spark's F.trim
+    # strips ASCII space only, so the oracle must pin trim(text, ' ')
+    # (DuckDB's default trim also strips unicode whitespace — found by
+    # the fingerprint fuzz, where an NBSP-leading doc lost its first
+    # word's NBSP on the DuckDB side and every shingle shifted)
+    if rng.random() < 0.25:
+        out.insert(0, "\xa0")
+    if rng.random() < 0.25:
+        out.append("\xa0")
     return "".join(out)
 
 
