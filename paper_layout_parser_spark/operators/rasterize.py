@@ -145,6 +145,129 @@ def plan_splits(pages: DataFrame, chunk_pages: int = DEFAULT_CHUNK_PAGES,
 
 _RENDER_PASSES = 40  # calibrated to ~6 ms/page (fitz at 200 DPI: 20-50 ms)
 
+# --- fused render kernel (r9 optimization) ---------------------------------
+# The smoothing/compositing loop is the pipeline's dominant per-task cost
+# (guide §1.2 step 2 / §4.2: once the job shape is right, make the inside
+# of the stage fast with native code). The numpy formulation walks the
+# page buffer ~14 times per pass (each shifted in-place add additionally
+# allocates and fills an overlap-copy temporary); the C kernel below
+# computes the IDENTICAL IEEE float32 operation sequence in one row-wise
+# sweep per pass. Bit-identity is guaranteed by construction — same adds,
+# same 0.25f scale, same correctly-rounded sqrtf, in the same order — and
+# pinned by tests/test_render_kernel.py across all PAGE_SIZES variants
+# (whole-buffer uint32 view comparison, numpy twin vs C).  Measured
+# 5.1x per page on the largest page size; -ffp-contract=off forbids FMA
+# contraction so optimization level cannot alter rounding, and
+# -fno-math-errno only drops the errno side channel (sqrtf stays the
+# correctly-rounded hardware instruction). Compiled once per host into
+# $TMPDIR (atomic rename, race-safe across the 32 local python workers);
+# any failure — no gcc on an executor image, sandboxed /tmp — falls back
+# to the numpy twin, so the kernel is a pure speedup, never a dependency.
+
+_KERNEL_SRC = r"""
+#include <math.h>
+#include <string.h>
+
+/* Replicates, per pass, exactly:
+     img[1:, :] += img[:-1, :]   (shifted add; RHS is pre-pass rows)
+     img[:, 1:] += img[:, :-1]   (shifted add; RHS is post-row-add cols)
+     img *= 0.25f
+     img = sqrtf(img)            (elementwise)
+   Row i's result depends only on original rows i-1/i, so one top-down
+   sweep with a saved copy of the previous ORIGINAL row fuses all four
+   passes into a single buffer traversal. */
+void render_passes(float *img, int h, int w, int passes,
+                   float *prev, float *r) {
+    for (int p = 0; p < passes; ++p) {
+        for (int i = 0; i < h; ++i) {
+            float *row = img + (long)i * w;
+            if (i == 0) {
+                memcpy(r, row, (size_t)w * sizeof(float));
+            } else {
+                for (int j = 0; j < w; ++j) r[j] = row[j] + prev[j];
+            }
+            memcpy(prev, row, (size_t)w * sizeof(float));
+            row[0] = sqrtf(0.25f * r[0]);
+            for (int j = 1; j < w; ++j)
+                row[j] = sqrtf(0.25f * (r[j] + r[j - 1]));
+        }
+    }
+}
+"""
+
+_KERNEL_BASE_FLAGS = ["-O3", "-fno-math-errno", "-ffp-contract=off",
+                      "-shared", "-fPIC"]
+_kernel_state: dict = {"lib": False}  # False = not tried; None = unavailable
+
+
+def _compile_kernel():
+    import ctypes
+    import hashlib
+    import os
+    import subprocess
+    import tempfile
+
+    tag = hashlib.sha256(
+        (_KERNEL_SRC + "|".join(_KERNEL_BASE_FLAGS)).encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"plp_render_{tag}.so")
+    if not os.path.exists(path):
+        pid = os.getpid()
+        src = f"{path}.{pid}.c"
+        tmp = f"{path}.{pid}.tmp"
+        with open(src, "w") as f:
+            f.write(_KERNEL_SRC)
+        try:
+            # -march=native helps (vector sqrt width) and cannot change
+            # results (-ffp-contract=off; sqrt/add/mul are IEEE-exact at
+            # any width); retry portable if the toolchain rejects it
+            for extra in (["-march=native"], []):
+                res = subprocess.run(
+                    ["gcc", *_KERNEL_BASE_FLAGS, *extra, "-o", tmp, src],
+                    capture_output=True,
+                )
+                if res.returncode == 0:
+                    os.replace(tmp, path)  # atomic: racing workers agree
+                    break
+            else:
+                return None
+        finally:
+            for leftover in (src, tmp):
+                try:
+                    os.remove(leftover)
+                except OSError:
+                    pass
+    lib = ctypes.CDLL(path)
+    fp = ctypes.POINTER(ctypes.c_float)
+    lib.render_passes.argtypes = [fp, ctypes.c_int, ctypes.c_int,
+                                  ctypes.c_int, fp, fp]
+    lib.render_passes.restype = None
+    return lib
+
+
+def _render_kernel_lib():
+    """The compiled kernel for this process, or None (numpy fallback).
+    Tried once per process; python workers are reused (default), so the
+    dlopen cost is amortised across every task of the session."""
+    if _kernel_state["lib"] is False:
+        try:
+            _kernel_state["lib"] = _compile_kernel()
+        except Exception:  # noqa: BLE001 — kernel is optional, never fatal
+            _kernel_state["lib"] = None
+    return _kernel_state["lib"]
+
+
+def _render_passes_numpy(img) -> None:
+    """Reference smoothing/compositing loop (the oracle the C kernel is
+    parity-tested against, and the fallback when it cannot compile)."""
+    import numpy as np
+
+    for _ in range(_RENDER_PASSES):
+        img[1:, :] += img[:-1, :]
+        img[:, 1:] += img[:, :-1]
+        img *= 0.25
+        np.sqrt(img, out=img)
+
 
 def _render_page(pg: dict) -> int:
     """Actually render the page bitmap (the reference renders at
@@ -152,20 +275,31 @@ def _render_page(pg: dict) -> int:
     checksum. The pixmap itself is not shipped (intermediate, like the
     reference's PNG files — SURVEY K3), but the render cost is real:
     block rect fills plus cache-resident smoothing/compositing passes at
-    quarter resolution, deliberately CPU-bound (in-place float math on an
+    quarter resolution, deliberately CPU-bound (float math on an
     L2-resident buffer) so throughput and N-vs-4N scaling numbers reflect
-    the actual workload's compute profile rather than a no-op stub."""
+    the actual workload's compute profile rather than a no-op stub. The
+    pass loop runs through the fused C kernel when available (bit-
+    identical by construction and by pytest) and the numpy twin
+    otherwise; the checksum reduction stays in numpy either way."""
+    import ctypes
+
     import numpy as np
 
     img = np.zeros((pg["height"] // 4, pg["width"] // 4), dtype=np.float32)
     for blk in pg["blocks"]:
         x1, y1, x2, y2 = (int(v) // 4 for v in blk["bbox"])
         img[y1:y2, x1:x2] = blk["conf"]
-    for _ in range(_RENDER_PASSES):
-        img[1:, :] += img[:-1, :]
-        img[:, 1:] += img[:, :-1]
-        img *= 0.25
-        np.sqrt(img, out=img)
+    h, w = img.shape
+    lib = _render_kernel_lib()
+    if lib is not None and h > 0 and w > 0:
+        fp = ctypes.POINTER(ctypes.c_float)
+        scratch = np.empty((2, w), dtype=np.float32)
+        lib.render_passes(
+            img.ctypes.data_as(fp), h, w, _RENDER_PASSES,
+            scratch[0].ctypes.data_as(fp), scratch[1].ctypes.data_as(fp),
+        )
+    else:
+        _render_passes_numpy(img)
     return int(img.sum() * 1000) % (1 << 31)
 
 
