@@ -52,6 +52,18 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
+def _cosine_hoisted(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine`` with the norm folds precomputed by the caller (r9):
+    the interpreted HOF fold costs ~dim steps per aggregate, and the
+    naive per-pair cosine runs THREE of them (dot + both norms) — the
+    norms are per-VECTOR quantities recomputed once per candidate pair.
+    Hoisting them to the pair sides (one fold per row instead of per
+    pair) leaves only the dot fold at pair grain: ~3x less interpreted
+    work per pair, bit-identical cos (same _norm expression over the
+    same values, same try_divide)."""
+    return F.try_divide(_dot(a, b), na * nb)
+
+
 def _sanitize_cos(raw: Column) -> Column:
     """Degenerate-cosine contract shared by BOTH brute-force twins: a
     cosine that comes out NULL — NULL query or candidate embedding, OR
@@ -86,16 +98,21 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
 
     ``queries`` is expected to be small relative to ``embeddings`` —
     broadcast it so the scan over the big side is shuffle-free."""
+    # per-vector norms computed once per side (broadcast row / candidate
+    # row), not once per (query, candidate) pair — see _cosine_hoisted
     q = F.broadcast(queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
     ))
     c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
     )
     scored = (
         q.crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", _sanitize_cos(cosine(F.col("qv"), F.col("cv"))))
+        .withColumn("cos", _sanitize_cos(_cosine_hoisted(
+            F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -285,11 +302,15 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         from .materialize import materialize
 
         sigs = materialize(sigs, checkpoint, "srp_sigs")
+    # per-vector norm computed once per signature row (pre-explode), not
+    # once per candidate pair inside the re-rank — see _cosine_hoisted
+    sigs = sigs.withColumn("vnorm", _norm(F.col("embedding")))
 
     def banded(df: DataFrame, side: str) -> DataFrame:
         return df.select(
             F.col("vec_id").alias(f"{side}_id"),
             F.col("embedding").alias(f"{side}_v"),
+            F.col("vnorm").alias(f"{side}_n"),
             F.explode(F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
@@ -298,7 +319,8 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                 )
                 for b in range(bands)
             ])).alias("bb"),
-        ).select(f"{side}_id", f"{side}_v", "bb.band", "bb.bucket")
+        ).select(f"{side}_id", f"{side}_v", f"{side}_n",
+                 "bb.band", "bb.bucket")
 
     qs = banded(
         sigs.join(queries.select(F.col(id_col).alias("vec_id")), "vec_id"), "q"
@@ -307,10 +329,11 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     cands = (
         F.broadcast(qs).join(cs, ["band", "bucket"])
         .where(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "q_v", "c_id", "c_v")
+        .select("q_id", "q_v", "q_n", "c_id", "c_v", "c_n")
         .distinct()
     )
-    scored = cands.withColumn("cos", cosine(F.col("q_v"), F.col("c_v")))
+    scored = cands.withColumn("cos", _cosine_hoisted(
+        F.col("q_v"), F.col("c_v"), F.col("q_n"), F.col("c_n")))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -663,10 +686,14 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                     "__probe", lambda x: (-x["negc"]).cast("int")
                 )).alias("cluster"))
     )
+    # per-vector norms once per probe row / corpus row, not per candidate
+    # pair inside the probed-list re-rank — see _cosine_hoisted
     scored = (
-        F.broadcast(probes).join(assigned, "cluster")
+        F.broadcast(probes.withColumn("qn", _norm(F.col("qv"))))
+        .join(assigned.withColumn("cn", _norm(F.col("cv"))), "cluster")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cos", _cosine_hoisted(
+            F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -699,8 +726,10 @@ def cosine_neardup_lsh(embeddings: DataFrame, threshold: float = 0.4,
         from .materialize import materialize
 
         sigs = materialize(sigs, checkpoint, "srp_neardup_sigs")
-    banded = sigs.select(
-        "vec_id", "embedding",
+    # per-vector norm once per signature row (pre-explode), not per
+    # verified candidate pair — see _cosine_hoisted
+    banded = sigs.withColumn("vnorm", _norm(F.col("embedding"))).select(
+        "vec_id", "embedding", "vnorm",
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
@@ -709,7 +738,7 @@ def cosine_neardup_lsh(embeddings: DataFrame, threshold: float = 0.4,
             )
             for b in range(bands)
         ])).alias("bb"),
-    ).select("vec_id", "embedding", "bb.band", "bb.bucket")
+    ).select("vec_id", "embedding", "vnorm", "bb.band", "bb.bucket")
     banded = cap_buckets(banded, max_bucket, "vec_id")
     a = banded.alias("a")
     b = banded.alias("b")
@@ -718,10 +747,12 @@ def cosine_neardup_lsh(embeddings: DataFrame, threshold: float = 0.4,
                & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(F.col("a.vec_id").alias("id_a"), F.col("a.embedding").alias("va"),
-                F.col("b.vec_id").alias("id_b"), F.col("b.embedding").alias("vb"))
+                F.col("a.vnorm").alias("na"),
+                F.col("b.vec_id").alias("id_b"), F.col("b.embedding").alias("vb"),
+                F.col("b.vnorm").alias("nb"))
         .distinct()
     )
-    cos = cosine(F.col("va"), F.col("vb"))
+    cos = _cosine_hoisted(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     return (
         cands.withColumn("cos", cos)
         .where(F.col("cos") >= threshold)
@@ -734,9 +765,12 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.4,
                          vec_col: str = "embedding") -> DataFrame:
     """All (a < b) pairs with cosine >= threshold. Exact; at scale, use
     cosine_neardup_lsh (SRP candidates) instead of the pairwise join."""
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    cos = cosine(F.col("va"), F.col("vb"))
+    # per-vector norms once per side row, not per pair — _cosine_hoisted
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                          _norm(F.col(vec_col)).alias("na"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                          _norm(F.col(vec_col)).alias("nb"))
+    cos = _cosine_hoisted(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cos", cos)
