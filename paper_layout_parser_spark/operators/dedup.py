@@ -121,17 +121,27 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.3,
     Jaccard is computed from integer intersection/union counts, so the
     double division is bit-identical across engines.
 
-    The shingle table is referenced three times (counts + both join sides);
-    ``reuse_shingles`` materializes it once (~2x end-to-end);
-    ``checkpoint=`` a Catalog swaps the localCheckpoint for a durable
-    catalog table on clusters (operators.materialize).
+    The shingle set is referenced three times (counts + both join sides);
+    ``reuse_shingles`` materializes it once — as the per-doc ARRAY
+    (r9), not the exploded table: the per-doc shingle count is then
+    ``size(sh)`` (a projection — the former count(*) aggregation stage
+    and its exchange disappear; identical values, since explode drops
+    exactly the zero-shingle docs that contribute no count row and an
+    inner join ignores their extra n=0 rows) and both self-join sides
+    explode the same materialized arrays. ``checkpoint=`` a Catalog
+    swaps the localCheckpoint for a durable catalog table on clusters
+    (operators.materialize).
     """
-    sh = _shingle_table(docs, id_col, text_col, k)
+    sets = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(words(F.col(text_col)), k).alias("sh"),
+    )
     if reuse_shingles:
         from .materialize import materialize
 
-        sh = materialize(sh, checkpoint, "jaccard_shingles")
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+        sets = materialize(sets, checkpoint, "jaccard_shingles")
+    sh = sets.select("doc_id", F.explode("sh").alias("s"))
+    cnt = sets.select("doc_id", F.size("sh").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -154,7 +164,8 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.3,
 def minhash_signatures(docs: DataFrame, num_hashes: int = 32,
                        id_col: str = "doc_id", text_col: str = "text",
                        k: int = DEFAULT_SHINGLE_K,
-                       hash_family: str = "xxhash64") -> DataFrame:
+                       hash_family: str = "xxhash64",
+                       shingle_table: DataFrame | None = None) -> DataFrame:
     """doc_id + sig_0..sig_{n-1} MinHash signature columns.
 
     Hash families (``hash_family``):
@@ -169,6 +180,12 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 32,
     The min-aggregation is map-side combinable, so the exchange carries
     one 32-column row per (task, doc), not the shingle blow-up.
 
+    ``shingle_table`` (optional) supplies a precomputed (doc_id, s)
+    exploded shingle table — minhash_lsh_pairs passes the explode of
+    its materialized per-doc shingle arrays so the corpus is shingled
+    once, not once per consumer (r9). Rows are identical to the
+    internally derived table by construction.
+
     Why explode + groupBy and NOT a per-row
     ``array_min(transform(shingles, ...))``: the HOF variant computes
     bit-identical values with no shuffle, but measured 1.4-2x SLOWER end to
@@ -178,7 +195,9 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 32,
     band-bucket SELF-join loses the exchange reuse that lets both sides
     read one computed copy. The aggregation's shuffle is the cheap,
     reusable cut point."""
-    sh = _shingle_table(docs, id_col, text_col, k)
+    sh = shingle_table
+    if sh is None:
+        sh = _shingle_table(docs, id_col, text_col, k)
     if hash_family == "xxhash64":
         aggs = [
             F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"sig_{i}")
@@ -235,8 +254,20 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
     from .materialize import materialize
 
     rows = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, id_col, text_col, k,
-                              hash_family=hash_family)
+    # r9: shingle the corpus ONCE — the per-doc shingle ARRAYS feed both
+    # the signature aggregation (via explode) and the verification join,
+    # so the former separate shingle_sets materialization (a second full
+    # shingle computation and localCheckpoint/catalog write) is gone
+    shingle_sets = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(words(F.col(text_col)), k).alias("sh"),
+    )
+    if reuse_tables:
+        shingle_sets = materialize(shingle_sets, checkpoint, "shingle_sets")
+    sigs = minhash_signatures(
+        docs, num_hashes, id_col, text_col, k, hash_family=hash_family,
+        shingle_table=shingle_sets.select("doc_id", F.explode("sh").alias("s")),
+    )
     if reuse_tables:
         sigs = materialize(sigs, checkpoint, "minhash_sigs")
 
@@ -271,12 +302,6 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
     # verify ONLY candidates: attach each side's distinct shingle set and
     # compute exact Jaccard natively (array_intersect) — O(candidates), so
     # the full pairwise join never happens (this is the whole point of LSH)
-    shingle_sets = docs.select(
-        F.col(id_col).alias("doc_id"),
-        shingles(words(F.col(text_col)), k).alias("sh"),
-    )
-    if reuse_tables:
-        shingle_sets = materialize(shingle_sets, checkpoint, "shingle_sets")
     sa = shingle_sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = shingle_sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     m = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
