@@ -216,6 +216,153 @@ def detect_enrich_layout(pages: DataFrame,
     return pages.mapInPandas(run, schema=schema, profile=profile)
 
 
+def rasterize_detect_enrich(planned: DataFrame,
+                            backend_factory=StubDetectorBackend,
+                            profile=None) -> DataFrame:
+    """r9 hot path: plan chunks -> ONE mapInPandas stage doing rasterize
+    (real render work, checksum semantics identical to
+    rasterize._render_page) + detection + clipped text + XY-cut.
+
+    Versus the two-stage rasterize_pages |> detect_enrich_layout chain
+    this removes a full JVM->Python->JVM round trip of the page table
+    (one Arrow (de)serialization of ~1 KB page payloads per page each
+    way) and the per-page ``json.dumps`` + double ``json.loads`` of the
+    page payload between the stages (guide §4.1: every Python boundary
+    costs a transpose + serialization both ways). With the default
+    StubDetectorBackend the detections are read straight off the parsed
+    page dict — value-identical to ``detect_batch(json.dumps(page))``
+    because the stub's parse of the serialized page is the page (pinned
+    by tests/test_pipeline.py's fused-vs-unfused parity and the
+    pipeline oracle queries); any other backend still receives
+    serialized page payloads through its documented ``detect_batch``
+    contract, batched per Arrow batch with the same whole-batch-then-
+    per-page fallback as detect_enrich_layout.
+
+    Emits RAW names/values plus ``reading_order_rank``/``text`` and the
+    quarantine columns ``stage``/``error`` ('rasterize' for chunk-decode
+    and render failures, 'detect' for inference/enrichment failures —
+    the same split the two-stage chain produced). Run
+    normalize_detections after dropping ``stage``."""
+    from ..algorithms import clip_text, xy_cut_order
+    from .rasterize import _render_page
+
+    schema = (RAW_DETECTION_SCHEMA
+              + ", reading_order_rank int, text string, "
+              "stage string, error string")
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        backend = backend_factory()  # once per task, never per row/batch
+        stub_fast = type(backend) is StubDetectorBackend
+        for pdf in it:
+            cols: dict[str, list] = {
+                "url": [], "page_no": [], "width": [], "height": [],
+                "det_idx": [], "class_id": [], "raw_name": [],
+                "confidence": [], "x1": [], "y1": [], "x2": [], "y2": [],
+                "reading_order_rank": [], "text": [], "stage": [],
+                "error": [],
+            }
+
+            def emit_error(url, page_no, w, h, stage, exc):
+                # C6 error containment: a bad chunk/page becomes a
+                # quarantine row, never a failed job
+                cols["url"].append(url)
+                cols["page_no"].append(int(page_no))
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["det_idx"].append(-1)
+                cols["class_id"].append(-1)
+                cols["raw_name"].append(None)
+                cols["confidence"].append(None)
+                for c in ("x1", "y1", "x2", "y2"):
+                    cols[c].append(None)
+                cols["reading_order_rank"].append(-1)
+                cols["text"].append(None)
+                cols["stage"].append(stage)
+                cols["error"].append(f"{type(exc).__name__}: {exc}")
+
+            # rasterize leg: decode chunks, render pages (error rows keep
+            # the two-stage chain's 'rasterize' stage label)
+            pages: list[tuple] = []   # (url, page dict) for rendered pages
+            for url, payload, start, end in zip(
+                pdf["url"], pdf["html"], pdf["page_start"], pdf["page_end"]
+            ):
+                try:
+                    doc = json.loads(bytes(payload)[8:])  # skip PLP1 header
+                    in_range = [pg for pg in doc["pages"]
+                                if start <= pg["page_no"] < end]
+                except Exception as exc:  # noqa: BLE001 — C6 quarantine
+                    emit_error(url, int(start), 0, 0, "rasterize", exc)
+                    continue
+                for pg in in_range:
+                    try:
+                        _render_page(pg)
+                        pages.append((url, pg))
+                    except Exception as exc:  # noqa: BLE001
+                        emit_error(url, pg.get("page_no", int(start)), 0, 0,
+                                   "rasterize", exc)
+
+            # detect leg: batched inference (generic backends get the
+            # serialized payload contract; the stub reads the dict)
+            if stub_fast:
+                results = [
+                    [
+                        {"class_id": blk["class_id"], "raw_name": blk["name"],
+                         "confidence": blk["conf"], "bbox": blk["bbox"]}
+                        for blk in pg["blocks"] if blk["conf"] >= backend.conf
+                    ]
+                    for _url, pg in pages
+                ]
+            else:
+                payloads = [
+                    json.dumps(pg, separators=(",", ":")).encode()
+                    for _url, pg in pages
+                ]
+                try:
+                    results = backend.detect_batch(payloads)
+                except Exception:  # noqa: BLE001 — isolate the bad page
+                    results = None
+
+            for idx, (url, pg) in enumerate(pages):
+                page_no, w, h = pg["page_no"], pg["width"], pg["height"]
+                try:
+                    if stub_fast:
+                        dets = results[idx]
+                    else:
+                        dets = (results[idx] if results is not None
+                                else backend.detect_batch([payloads[idx]])[0])
+                    blocks = pg["blocks"]
+                    boxes = [tuple(d["bbox"]) for d in dets]
+                    order = xy_cut_order(boxes)
+                    ranks = [0] * len(order)
+                    for rank, pos in enumerate(order):
+                        ranks[pos] = rank
+                    texts = [clip_text(blocks, *d["bbox"]) for d in dets]
+                except Exception as exc:  # noqa: BLE001 — quarantine
+                    emit_error(url, page_no, w, h, "detect", exc)
+                    continue
+                for i, d in enumerate(dets):
+                    cols["url"].append(url)
+                    cols["page_no"].append(page_no)
+                    cols["width"].append(w)
+                    cols["height"].append(h)
+                    cols["det_idx"].append(i)
+                    cols["class_id"].append(d["class_id"])
+                    cols["raw_name"].append(d["raw_name"])
+                    cols["confidence"].append(d["confidence"])
+                    x1, y1, x2, y2 = d["bbox"]
+                    cols["x1"].append(x1)
+                    cols["y1"].append(y1)
+                    cols["x2"].append(x2)
+                    cols["y2"].append(y2)
+                    cols["reading_order_rank"].append(ranks[i])
+                    cols["text"].append(texts[i])
+                    cols["stage"].append(None)
+                    cols["error"].append(None)
+            yield pd.DataFrame(cols)
+
+    return planned.mapInPandas(run, schema=schema, profile=profile)
+
+
 def normalize_detections(raw: DataFrame) -> DataFrame:
     """Native post-processing: class-name normalization exactly as
     layout_detector.py:143-146 (``name.replace('_','-').title().replace(' ','-')``

@@ -24,6 +24,7 @@ from ..operators.detect import (
     detect_enrich_layout,
     detect_layout,
     normalize_detections,
+    rasterize_detect_enrich,
 )
 from ..operators.matching import match_captions
 from ..operators.page_text import enrich_detections
@@ -63,12 +64,19 @@ def run_pipeline(
     )
     rasterized = ras_all.where(F.col("error").isNull()).drop("error")
     if fused:
-        # default hot path: inference + clipped text + XY-cut in one stage
-        raw = normalize_detections(detect_enrich_layout(rasterized, backend_factory))
-        det_quarantine = raw.where(F.col("error").isNotNull()).select(
-            "url", "page_no", F.lit("detect").alias("stage"), "error"
+        # default hot path (r9): rasterize + inference + clipped text +
+        # XY-cut in ONE mapInPandas stage — one Python boundary for the
+        # whole chain instead of two, no page-payload re-serialization
+        # between stages (see rasterize_detect_enrich). `rasterized`
+        # stays the standalone two-stage lineage for the consumers that
+        # need page rows (crop re-render, per-doc page counts) — same
+        # recompute-on-demand behavior as before, the page table was
+        # never persisted here.
+        fused_raw = rasterize_detect_enrich(planned, backend_factory)
+        quarantine = fused_raw.where(F.col("error").isNotNull()).select(
+            "url", "page_no", "stage", "error"
         )
-        quarantine = ras_quarantine.unionByName(det_quarantine)
+        raw = normalize_detections(fused_raw.drop("stage"))
         enriched = raw.where(F.col("error").isNull()).drop("error")
         det = enriched.drop("reading_order_rank", "text")
     else:
