@@ -123,6 +123,35 @@ class TestQuarantine:
         assert all(r["stage"] == "rasterize" for r in q.values())
         assert out.doc_text.where("url = 'u_good'").count() == 1
 
+    def test_enrich_failure_carries_detect_stage_label(self, spark):
+        """r9 fused-stage parity: a page that RENDERS fine (bbox/conf
+        present) but whose blocks break text enrichment (no 'text' key
+        -> clip_text raises) must quarantine with stage='detect' — the
+        same split the two-stage chain produced (render errors are
+        'rasterize', inference/enrichment errors are 'detect')."""
+        bad_page = {"page_no": 1, "width": 400, "height": 400, "blocks": [
+            {"b": 0, "class_id": 0, "name": "Title", "conf": 0.9,
+             "bbox": [10.0, 10.0, 100.0, 50.0]},  # no 'text' key
+        ]}
+        body = json.dumps({"v": 1, "pages": [bad_page]}).encode()
+        rows = [
+            ("u_good", sd.doc_html(3)),
+            ("u_bad_enrich", sd.HTML_MAGIC + b"\x00\x00\x00\x01" + body),
+        ]
+        pages = spark.createDataFrame(rows, "url string, html binary").select(
+            "url",
+            F.lit("2020-01-01").cast("timestamp").alias("warc_ts"),
+            "html",
+            F.lit("").alias("text"),
+            F.lit("en").alias("lang"),
+        )
+        out = run_pipeline(pages)
+        q = {r["url"]: r for r in out.quarantine.collect()}
+        assert set(q) == {"u_bad_enrich"}
+        assert q["u_bad_enrich"]["stage"] == "detect"
+        assert out.doc_text.where("url = 'u_good'").count() == 1
+        assert out.enriched.where("url = 'u_bad_enrich'").count() == 0
+
 
 class TestStreamingIngest:
     def test_available_now_drain_and_exactly_once(self, spark, tmp_path, small_pages):
