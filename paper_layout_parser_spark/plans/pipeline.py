@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 from ..operators.assembly import assemble_doc_text
 from ..operators.detect import (
     StubDetectorBackend,
-    detect_enrich_layout,
     detect_layout,
     normalize_detections,
     rasterize_detect_enrich,
