@@ -156,9 +156,10 @@ def kernels_mode() -> None:
         json.loads(p)
     t_loads_page = time.monotonic() - t0
 
-    # render kernel
+    # render kernel — strided sample (page sizes vary deterministically
+    # across the corpus, so a prefix sample would be biased)
     t0 = time.monotonic()
-    for pg in pages[: n_pages // 4]:
+    for pg in pages[::4]:
         _render_page(pg)
     t_render = (time.monotonic() - t0) * 4
 

@@ -49,22 +49,23 @@ class StubDetectorBackend:
         self.iou = iou
         self.imgsz = imgsz
 
+    def detect_page(self, page: dict) -> list[dict]:
+        """Detections of one PARSED page dict — the single source of the
+        stub's detection contract (threshold, field mapping); used by
+        detect_batch and by the fused pipeline stage's dict fast path."""
+        return [
+            {
+                "class_id": blk["class_id"],
+                "raw_name": blk["name"],
+                "confidence": blk["conf"],
+                "bbox": blk["bbox"],
+            }
+            for blk in page["blocks"]
+            if blk["conf"] >= self.conf
+        ]
+
     def detect_batch(self, payloads: list[bytes]) -> list[list[dict]]:
-        out = []
-        for payload in payloads:
-            page = json.loads(bytes(payload))
-            dets = [
-                {
-                    "class_id": blk["class_id"],
-                    "raw_name": blk["name"],
-                    "confidence": blk["conf"],
-                    "bbox": blk["bbox"],
-                }
-                for blk in page["blocks"]
-                if blk["conf"] >= self.conf
-            ]
-            out.append(dets)
-        return out
+        return [self.detect_page(json.loads(bytes(p))) for p in payloads]
 
 
 class YoloDetectorBackend:
@@ -302,17 +303,12 @@ def rasterize_detect_enrich(planned: DataFrame,
                                    "rasterize", exc)
 
             # detect leg: batched inference (generic backends get the
-            # serialized payload contract; the stub reads the dict)
-            if stub_fast:
-                results = [
-                    [
-                        {"class_id": blk["class_id"], "raw_name": blk["name"],
-                         "confidence": blk["conf"], "bbox": blk["bbox"]}
-                        for blk in pg["blocks"] if blk["conf"] >= backend.conf
-                    ]
-                    for _url, pg in pages
-                ]
-            else:
+            # serialized payload contract; the stub reads the parsed dict
+            # PER PAGE inside the containment try below, so a malformed
+            # block quarantines that page exactly like the two-stage
+            # chain's whole-batch-then-per-page fallback did)
+            results = None
+            if not stub_fast:
                 payloads = [
                     json.dumps(pg, separators=(",", ":")).encode()
                     for _url, pg in pages
@@ -326,7 +322,7 @@ def rasterize_detect_enrich(planned: DataFrame,
                 page_no, w, h = pg["page_no"], pg["width"], pg["height"]
                 try:
                     if stub_fast:
-                        dets = results[idx]
+                        dets = backend.detect_page(pg)
                     else:
                         dets = (results[idx] if results is not None
                                 else backend.detect_batch([payloads[idx]])[0])

@@ -200,43 +200,68 @@ _KERNEL_BASE_FLAGS = ["-O3", "-fno-math-errno", "-ffp-contract=off",
 _kernel_state: dict = {"lib": False}  # False = not tried; None = unavailable
 
 
+def _kernel_cache_dir() -> str:
+    """Per-user 0700 cache dir under the temp root, ownership-verified:
+    loading a shared object from a predictable world-writable path would
+    let any local user on a shared host plant code into the pipeline's
+    workers, so the dir must be ours and ours alone (raises into the
+    caller's fallback otherwise)."""
+    import os
+    import stat
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), f"plp_kernel_{os.getuid()}")
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    st = os.stat(d)
+    if st.st_uid != os.getuid() or (st.st_mode & (stat.S_IWGRP | stat.S_IWOTH)):
+        raise PermissionError(f"kernel cache dir {d!r} is not exclusively "
+                              "owned by this user")
+    return d
+
+
 def _compile_kernel():
     import ctypes
     import hashlib
     import os
     import subprocess
-    import tempfile
 
+    cache = _kernel_cache_dir()
     tag = hashlib.sha256(
         (_KERNEL_SRC + "|".join(_KERNEL_BASE_FLAGS)).encode()
     ).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"plp_render_{tag}.so")
-    if not os.path.exists(path):
+    path = None
+    # -march=native helps (vector sqrt width) and cannot change results
+    # (-ffp-contract=off; sqrt/add/mul are IEEE-exact at any width);
+    # fall back to the portable build if the toolchain rejects it. Each
+    # variant gets its own cache file so a portable fallback on one host
+    # can never shadow (or be shadowed by) a native build.
+    for variant, extra in (("native", ["-march=native"]), ("portable", [])):
+        cand = os.path.join(cache, f"plp_render_{tag}_{variant}.so")
+        if os.path.exists(cand):
+            path = cand
+            break
         pid = os.getpid()
-        src = f"{path}.{pid}.c"
-        tmp = f"{path}.{pid}.tmp"
+        src = f"{cand}.{pid}.c"
+        tmp = f"{cand}.{pid}.tmp"
         with open(src, "w") as f:
             f.write(_KERNEL_SRC)
         try:
-            # -march=native helps (vector sqrt width) and cannot change
-            # results (-ffp-contract=off; sqrt/add/mul are IEEE-exact at
-            # any width); retry portable if the toolchain rejects it
-            for extra in (["-march=native"], []):
-                res = subprocess.run(
-                    ["gcc", *_KERNEL_BASE_FLAGS, *extra, "-o", tmp, src],
-                    capture_output=True,
-                )
-                if res.returncode == 0:
-                    os.replace(tmp, path)  # atomic: racing workers agree
-                    break
-            else:
-                return None
+            res = subprocess.run(
+                ["gcc", *_KERNEL_BASE_FLAGS, *extra, "-o", tmp, src],
+                capture_output=True,
+            )
+            if res.returncode == 0:
+                os.replace(tmp, cand)  # atomic: racing workers agree
+                path = cand
+                break
         finally:
             for leftover in (src, tmp):
                 try:
                     os.remove(leftover)
                 except OSError:
                     pass
+    if path is None:
+        return None
     lib = ctypes.CDLL(path)
     fp = ctypes.POINTER(ctypes.c_float)
     lib.render_passes.argtypes = [fp, ctypes.c_int, ctypes.c_int,

@@ -123,6 +123,34 @@ class TestQuarantine:
         assert all(r["stage"] == "rasterize" for r in q.values())
         assert out.doc_text.where("url = 'u_good'").count() == 1
 
+    def test_malformed_block_quarantines_not_job_failure(self, spark):
+        """r9 review finding: a page whose block RENDERS fine (bbox +
+        conf present) but is malformed for detection (no 'class_id'/
+        'name' keys) must become a detect-stage quarantine row through
+        the fused stub fast path — never a failed job (the containment
+        the two-stage chain's whole-batch-then-per-page fallback gave)."""
+        bad_page = {"page_no": 1, "width": 400, "height": 400, "blocks": [
+            {"conf": 0.9, "bbox": [10.0, 10.0, 100.0, 50.0]},  # no class_id
+        ]}
+        body = json.dumps({"v": 1, "pages": [bad_page]}).encode()
+        rows = [
+            ("u_good", sd.doc_html(4)),
+            ("u_bad_block", sd.HTML_MAGIC + b"\x00\x00\x00\x01" + body),
+        ]
+        pages = spark.createDataFrame(rows, "url string, html binary").select(
+            "url",
+            F.lit("2020-01-01").cast("timestamp").alias("warc_ts"),
+            "html",
+            F.lit("").alias("text"),
+            F.lit("en").alias("lang"),
+        )
+        out = run_pipeline(pages)
+        q = {r["url"]: r for r in out.quarantine.collect()}
+        assert set(q) == {"u_bad_block"}
+        assert q["u_bad_block"]["stage"] == "detect"
+        assert "KeyError" in q["u_bad_block"]["error"]
+        assert out.doc_text.where("url = 'u_good'").count() == 1
+
     def test_enrich_failure_carries_detect_stage_label(self, spark):
         """r9 fused-stage parity: a page that RENDERS fine (bbox/conf
         present) but whose blocks break text enrichment (no 'text' key
